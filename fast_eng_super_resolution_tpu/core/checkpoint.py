@@ -1,0 +1,91 @@
+"""Checkpointing: native .npz pytree format + reference ``.pth`` interop.
+
+The reference persists per-partition ``state_dict``s at
+``logs/models/collection_{exp}/partition_{i}.pth`` (scheduler_gnn.py:181-185,
+444-451) and loads them CPU-mapped (scheduler_gnn.py:45-51).  The framework
+keeps that directory layout for drop-in compatibility, storing params natively
+as flat-key ``.npz`` (atomic rename on save — the reference has no atomic
+writes, SURVEY §5) and importing/exporting ``.pth`` via torch-CPU when asked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any
+
+import jax
+import numpy as np
+
+SEP = "/"
+
+
+def flatten_params(params: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.update(flatten_params(v, f"{prefix}{k}{SEP}"))
+    elif isinstance(params, (list, tuple)):
+        for i, v in enumerate(params):
+            out.update(flatten_params(v, f"{prefix}{i}{SEP}"))
+    else:
+        out[prefix[:-1]] = np.asarray(params)
+    return out
+
+
+def unflatten_params(flat: dict[str, np.ndarray]) -> Any:
+    """Rebuilds the nested dict/list pytree from flat keys."""
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split(SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def normalize(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [normalize(node[str(i)]) for i in range(len(keys))]
+        return {k: normalize(v) for k, v in node.items()}
+
+    return normalize(root)
+
+
+def save_params(path: str, params: Any) -> None:
+    """Atomically writes a params pytree as .npz."""
+    flat = flatten_params(jax.device_get(params))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_params(path: str) -> Any:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return unflatten_params(flat)
+
+
+def load_pth_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Loads a torch ``.pth`` state_dict into numpy arrays (CPU, no grad)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def save_pth_state_dict(path: str, state_dict: dict[str, np.ndarray]) -> None:
+    """Writes a numpy state_dict as a torch ``.pth`` (for reference interop)."""
+    import torch
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}, path)

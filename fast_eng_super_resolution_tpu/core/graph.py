@@ -1,0 +1,205 @@
+"""Fixed-shape subdomain graph structures.
+
+The reference stores each subdomain as a variable-size ``torch_geometric.data.Data``
+(x, y, pos, edge_index, edge_attr; see /root/reference/dataset/GraphDataset.py:214-227,
+772-797) and loops over them in Python.  On TPU everything under ``jit`` must be
+static-shape, so the framework's unit of work is a *padded* graph (``Graph``) and a
+*batch of padded graphs* (``GraphBatch``) bucketed to a small set of (N_max, E_max)
+sizes so each bucket compiles exactly once.
+
+Conventions
+-----------
+- ``senders[e]`` -> ``receivers[e]`` is a directed edge; messages flow from the
+  sender (source) to the receiver (target), matching PyG's default
+  ``flow='source_to_target'`` used by the reference models
+  (/root/reference/models/model.py:521-529).
+- Padded nodes live at the tail of the node axis with ``node_mask == False``.
+- Padded edges have ``senders == receivers == N_pad - 1`` (a padded node) and
+  ``edge_mask == False``; their ``edge_attr`` is 1.0 so divisions stay finite.
+- ``global_ids`` maps each local node to its index in the full mesh (the
+  analogue of the reference's "GlobalPointIds" array,
+  /root/reference/dataset/GraphDataset.py:601-609); padded nodes carry -1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Graph:
+    """One padded subdomain graph (all arrays fixed-shape).
+
+    Attributes:
+      x:          [N, C_in]  input node features (interpolated low-res field).
+      y:          [N, C_out] target node features (high-res field) or zeros.
+      pos:        [N, 3]     node coordinates.
+      senders:    [E]        int32 edge source indices.
+      receivers:  [E]        int32 edge target indices.
+      edge_attr:  [E, A]     edge features (A=1: edge length, GraphDataset.py:866).
+      node_mask:  [N]        bool, True for real nodes.
+      edge_mask:  [E]        bool, True for real edges.
+      global_ids: [N]        int32 index into the full mesh, -1 for padding.
+    """
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    pos: jnp.ndarray
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_attr: jnp.ndarray
+    node_mask: jnp.ndarray
+    edge_mask: jnp.ndarray
+    global_ids: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[-2]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[-1]
+
+    @property
+    def num_real_nodes(self) -> jnp.ndarray:
+        return jnp.sum(self.node_mask.astype(jnp.int32), axis=-1)
+
+
+# A GraphBatch is simply a Graph whose arrays carry a leading batch axis [B, ...].
+GraphBatch = Graph
+
+
+def pad_graph(
+    x: np.ndarray,
+    y: Optional[np.ndarray],
+    pos: np.ndarray,
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_attr: np.ndarray,
+    n_pad: int,
+    e_pad: int,
+    global_ids: Optional[np.ndarray] = None,
+    out_channels: Optional[int] = None,
+) -> Graph:
+    """Pads one variable-size graph to (n_pad, e_pad) static shapes (host-side)."""
+    n, c_in = x.shape
+    e = senders.shape[0]
+    if n > n_pad:
+        raise ValueError(f"graph has {n} nodes > n_pad={n_pad}")
+    if e > e_pad:
+        raise ValueError(f"graph has {e} edges > e_pad={e_pad}")
+    if edge_attr.ndim == 1:
+        edge_attr = edge_attr[:, None]
+    a = edge_attr.shape[1]
+    c_out = y.shape[1] if y is not None else (out_channels or c_in)
+
+    xp = np.zeros((n_pad, c_in), np.float32)
+    xp[:n] = x
+    yp = np.zeros((n_pad, c_out), np.float32)
+    if y is not None:
+        yp[:n] = y
+    pp = np.zeros((n_pad, 3), np.float32)
+    pp[:n] = pos
+    pad_node = max(n_pad - 1, 0)
+    sp = np.full((e_pad,), pad_node, np.int32)
+    sp[:e] = senders
+    rp = np.full((e_pad,), pad_node, np.int32)
+    rp[:e] = receivers
+    ap = np.ones((e_pad, a), np.float32)
+    ap[:e] = edge_attr
+    nm = np.zeros((n_pad,), bool)
+    nm[:n] = True
+    em = np.zeros((e_pad,), bool)
+    em[:e] = True
+    gi = np.full((n_pad,), -1, np.int32)
+    gi[:n] = np.arange(n, dtype=np.int32) if global_ids is None else global_ids
+    return Graph(
+        x=jnp.asarray(xp), y=jnp.asarray(yp), pos=jnp.asarray(pp),
+        senders=jnp.asarray(sp), receivers=jnp.asarray(rp),
+        edge_attr=jnp.asarray(ap), node_mask=jnp.asarray(nm),
+        edge_mask=jnp.asarray(em), global_ids=jnp.asarray(gi),
+    )
+
+
+def stack_graphs(graphs: Sequence[Graph]) -> GraphBatch:
+    """Stacks equally-padded Graphs into a GraphBatch with a leading [B] axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Size bucketing policy: quantize (N, E) so jit compiles once per bucket.
+
+    The reference re-runs Python per variable-size subdomain
+    (scheduler_gnn.py:217-226); here each distinct bucket costs one XLA
+    compilation and everything else is cache hits.
+    """
+
+    node_multiple: int = 256
+    edge_multiple: int = 1024
+    min_nodes: int = 256
+    min_edges: int = 1024
+
+    def bucket_for(self, n: int, e: int) -> tuple[int, int]:
+        return (
+            max(_round_up(n, self.node_multiple), self.min_nodes),
+            max(_round_up(e, self.edge_multiple), self.min_edges),
+        )
+
+
+def pad_and_bucket(
+    raw_graphs: Sequence[dict],
+    spec: BucketSpec = BucketSpec(),
+    uniform: bool = True,
+) -> list[tuple[tuple[int, int], list[int], GraphBatch]]:
+    """Pads a list of raw graphs (dicts of numpy arrays) into batched buckets.
+
+    Args:
+      raw_graphs: each dict has keys x, y, pos, senders, receivers, edge_attr and
+        optionally global_ids.
+      spec: bucketing policy.
+      uniform: if True, everything lands in a single bucket sized by the largest
+        graph (one compile, some padding waste) — the right default for meshes
+        partitioned into near-equal subdomains (METIS balance, GraphDataset.py:561).
+
+    Returns:
+      list of (bucket_key, member_indices, GraphBatch).
+    """
+    if not raw_graphs:
+        return []
+    sizes = [(g["x"].shape[0], g["senders"].shape[0]) for g in raw_graphs]
+    if uniform:
+        n_max = max(s[0] for s in sizes)
+        e_max = max(s[1] for s in sizes)
+        keys = [spec.bucket_for(n_max, e_max)] * len(raw_graphs)
+    else:
+        keys = [spec.bucket_for(n, e) for n, e in sizes]
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, k in enumerate(keys):
+        buckets.setdefault(k, []).append(i)
+
+    out = []
+    for key, idxs in sorted(buckets.items()):
+        n_pad, e_pad = key
+        gs = [
+            pad_graph(
+                raw_graphs[i]["x"], raw_graphs[i].get("y"), raw_graphs[i]["pos"],
+                raw_graphs[i]["senders"], raw_graphs[i]["receivers"],
+                raw_graphs[i]["edge_attr"], n_pad, e_pad,
+                global_ids=raw_graphs[i].get("global_ids"),
+            )
+            for i in idxs
+        ]
+        out.append((key, idxs, stack_graphs(gs)))
+    return out

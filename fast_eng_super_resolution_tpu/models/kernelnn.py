@@ -1,0 +1,108 @@
+"""KernelNN ("neuralop") — the reference's default surrogate model.
+
+Parity target: /root/reference/models/model.py:543-562 (KernelNN) built on
+NNConv_old (model.py:451-540) with a shared DenseNet edge kernel
+[ker_in, ker_width, ker_width, width**2] + ReLU (model.py:550) and
+aggr='mean' (model.py:551).  Forward: fc1 -> depth x relu(conv) -> fc2
+(model.py:555-562).  Checkpoint layout verified against
+logs/models/collection_duct_neuralop/partition_0.pth (width=43, in/out=4).
+
+TPU design: static config lives on a frozen dataclass (hashable, jit-static);
+params are a pure pytree of arrays (vmap-stackable for expert dispatch).  The
+shared-weight depth loop is a ``lax.scan``; the conv uses the MXU-factored
+edge-conditioned convolution (ops/message_passing.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.message_passing import edge_conditioned_conv
+from .common import from_torch_linear, linear, linear_init, mlp_init, pyg_uniform_init, to_torch_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelNN:
+    """Static model config (mirrors KernelNN.__init__, model.py:544-553)."""
+
+    width: int
+    ker_width: int
+    depth: int
+    ker_in: int = 1
+    in_width: int = 3
+    out_width: int = 3
+    mode: str = "factored"  # 'factored' (MXU) or 'edge' (literal per-edge bmm)
+
+    def init(self, key) -> dict:
+        w = self.width
+        ks = jax.random.split(key, 5)
+        return {
+            "fc1": linear_init(ks[0], self.in_width, w),
+            "conv": {
+                "edge_mlp": mlp_init(ks[1], [self.ker_in, self.ker_width, self.ker_width, w * w]),
+                "root": pyg_uniform_init(ks[2], w, (w, w)),
+                "bias": pyg_uniform_init(ks[3], w, (w,)),
+            },
+            "fc2": linear_init(ks[4], w, self.out_width),
+        }
+
+    def apply(self, params: dict, x: jnp.ndarray, senders: jnp.ndarray,
+              receivers: jnp.ndarray, edge_attr: jnp.ndarray,
+              edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Forward pass for one (padded) graph. x: [N, C_in] -> [N, C_out]."""
+        conv = params["conv"]
+        h = linear(params["fc1"], x)
+
+        def body(h, _):
+            h = edge_conditioned_conv(
+                h, senders, receivers, edge_attr,
+                edge_mlp=conv["edge_mlp"], root=conv["root"], bias=conv["bias"],
+                edge_mask=edge_mask, activation=jax.nn.relu, aggr="mean",
+                mode=self.mode,
+            )
+            return jax.nn.relu(h), None
+
+        h, _ = jax.lax.scan(body, h, None, length=self.depth)
+        return linear(params["fc2"], h)
+
+    def import_pth(self, state_dict) -> dict:
+        """Params from a reference checkpoint (torch state_dict / numpy dict).
+
+        Key layout per logs/models/collection_duct_neuralop/partition_0.pth:
+        fc1.*, conv1.root, conv1.bias, conv1.nn.layers.{0,2,4}.*, fc2.*.
+        """
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in state_dict.items()}
+        got = sd["conv1.root"].shape[0]
+        if got != self.width:
+            raise ValueError(
+                f"checkpoint width {got} does not match model config width {self.width}")
+        if sd["fc1.weight"].shape != (self.width, self.in_width):
+            raise ValueError(
+                f"checkpoint fc1 {sd['fc1.weight'].shape} does not match "
+                f"(width={self.width}, in_width={self.in_width})")
+        return {
+            "fc1": from_torch_linear(sd, "fc1"),
+            "conv": {
+                "edge_mlp": [from_torch_linear(sd, f"conv1.nn.layers.{i}") for i in (0, 2, 4)],
+                "root": jnp.asarray(sd["conv1.root"], jnp.float32),
+                "bias": jnp.asarray(sd["conv1.bias"], jnp.float32),
+            },
+            "fc2": from_torch_linear(sd, "fc2"),
+        }
+
+    def export_pth(self, params: dict) -> dict:
+        """Inverse of import_pth — numpy state_dict in the reference's layout."""
+        import numpy as np
+
+        out: dict = {}
+        to_torch_linear(params["fc1"], "fc1", out)
+        for i, li in zip((0, 2, 4), range(3)):
+            to_torch_linear(params["conv"]["edge_mlp"][li], f"conv1.nn.layers.{i}", out)
+        out["conv1.root"] = np.asarray(params["conv"]["root"])
+        out["conv1.bias"] = np.asarray(params["conv"]["bias"])
+        to_torch_linear(params["fc2"], "fc2", out)
+        return out

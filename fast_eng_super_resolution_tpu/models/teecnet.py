@@ -1,0 +1,118 @@
+"""TEECNet — Taylor-series Expansion Error Correction Network.
+
+Parity target: /root/reference/models/model.py:259-286 (TEECNet) with the
+shared KernelConv (model.py:365-448): messages are ``linear(x_j) @ W_op(e)``
+where ``W_op = DenseNet([in_edge,32,64,128,width**2], LeakyReLU)(e)``
+(model.py:403, 426-441), aggregation 'mean' (model.py:394), and the update adds
+``x @ root_param + bias`` applied to the *pre-linear* node features
+(model.py:444-445).  No inter-layer nonlinearity (model.py:280-282).
+Checkpoint layout verified against
+logs/models/collection_duct_teecnet/partition_0.pth (width=43).
+
+Note: ``linear(x_i)`` is computed but unused in the reference's message
+(model.py:430-441) — we keep the used dataflow only.  PowerSeriesKernel exists
+in the reference but is disconnected (model.py:402, 427 commented out); see
+powerseries.py for the framework's implementation of that kernel family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.message_passing import edge_conditioned_conv
+from .common import from_torch_linear, linear, linear_init, mlp_init, pyg_uniform_init, to_torch_linear
+
+_leaky_relu = partial(jax.nn.leaky_relu, negative_slope=0.01)  # torch default slope
+
+
+@dataclasses.dataclass(frozen=True)
+class TEECNet:
+    """Static model config (mirrors TEECNet.__init__, model.py:269-276)."""
+
+    in_channels: int
+    width: int
+    out_channels: int
+    num_layers: int = 4
+    in_edge: int = 1
+    mode: str = "factored"
+
+    def init(self, key) -> dict:
+        w = self.width
+        ks = jax.random.split(key, 6)
+        return {
+            "fc1": linear_init(ks[0], self.in_channels, w),
+            "kernel": {
+                "linear": linear_init(ks[1], w, w),
+                "edge_mlp": mlp_init(ks[2], [self.in_edge, 32, 64, 128, w * w]),
+                "root": pyg_uniform_init(ks[3], w, (w, w)),
+                "bias": pyg_uniform_init(ks[4], w, (w,)),
+            },
+            "fc_out": linear_init(ks[5], w, self.out_channels),
+        }
+
+    def apply(self, params: dict, x: jnp.ndarray, senders: jnp.ndarray,
+              receivers: jnp.ndarray, edge_attr: jnp.ndarray,
+              edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        kern = params["kernel"]
+        h = linear(params["fc1"], x)
+
+        def body(h, _):
+            h = edge_conditioned_conv(
+                linear(kern["linear"], h), senders, receivers, edge_attr,
+                edge_mlp=kern["edge_mlp"], root=kern["root"], bias=kern["bias"],
+                edge_mask=edge_mask, activation=_leaky_relu, aggr="mean",
+                mode=self.mode, root_input=h,
+            )
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, None, length=self.num_layers)
+        return linear(params["fc_out"], h)
+
+    def import_pth(self, state_dict) -> dict:
+        """Params from a reference checkpoint.
+
+        Key layout per logs/models/collection_duct_teecnet/partition_0.pth:
+        fc1.*, kernel.{root_param,bias,linear.*,operator_kernel.layers.{0,2,4,6}.*},
+        fc_out.*.
+        """
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in state_dict.items()}
+        got = sd["kernel.root_param"].shape[0]
+        if got != self.width:
+            raise ValueError(
+                f"checkpoint width {got} does not match model config width {self.width}")
+        if sd["fc1.weight"].shape != (self.width, self.in_channels):
+            raise ValueError(
+                f"checkpoint fc1 {sd['fc1.weight'].shape} does not match "
+                f"(width={self.width}, in_channels={self.in_channels})")
+        return {
+            "fc1": from_torch_linear(sd, "fc1"),
+            "kernel": {
+                "linear": from_torch_linear(sd, "kernel.linear"),
+                "edge_mlp": [
+                    from_torch_linear(sd, f"kernel.operator_kernel.layers.{i}")
+                    for i in (0, 2, 4, 6)
+                ],
+                "root": jnp.asarray(sd["kernel.root_param"], jnp.float32),
+                "bias": jnp.asarray(sd["kernel.bias"], jnp.float32),
+            },
+            "fc_out": from_torch_linear(sd, "fc_out"),
+        }
+
+    def export_pth(self, params: dict) -> dict:
+        import numpy as np
+
+        out: dict = {}
+        to_torch_linear(params["fc1"], "fc1", out)
+        to_torch_linear(params["kernel"]["linear"], "kernel.linear", out)
+        for i, li in zip((0, 2, 4, 6), range(4)):
+            to_torch_linear(params["kernel"]["edge_mlp"][li],
+                            f"kernel.operator_kernel.layers.{i}", out)
+        out["kernel.root_param"] = np.asarray(params["kernel"]["root"])
+        out["kernel.bias"] = np.asarray(params["kernel"]["bias"])
+        to_torch_linear(params["fc_out"], "fc_out", out)
+        return out

@@ -1,0 +1,112 @@
+"""Edge-conditioned graph convolution — the framework's hottest op.
+
+Reference math (NNConv_old, /root/reference/models/model.py:521-536; KernelConv,
+model.py:421-445):
+
+    W_e  = EdgeMLP(edge_attr_e).reshape(C_in, C_out)          # per-edge matrix
+    m_e  = x_sender(e) @ W_e                                  # per-edge bmm
+    out_i = mean_{e: receiver(e)=i} m_e + x_i @ root + bias
+
+The per-edge form costs ``E * (K * C_in * C_out)`` MACs in the edge MLP's final
+layer alone (K = last hidden width).  On tetrahedral CFD meshes E is ~10-15x N,
+so we restructure the *same* computation to put the dominant contraction on the
+node axis (the "factored" mode, default):
+
+    EdgeMLP(e) = hidden(e) @ W3 + b3,    hidden: [E, K]
+    m_e = sum_k hidden_e[k] * (x_s @ M3_k) + x_s @ B3
+        with M3 = W3.reshape(K, C_in, C_out), B3 = b3.reshape(C_in, C_out)
+
+    U = einsum('ni,kio->nko', x, M3)     # [N, K, C_out]  — dense MXU matmul
+    m_e = einsum('ek,eko->eo', hidden_e, U[senders]) + (x @ B3)[senders]
+
+This is bit-for-bit the reference operator (associativity only), but the
+``K*C_in*C_out`` matmul now runs N times instead of E times and maps onto the
+MXU as one big [N, C_in] x [C_in, K*C_out] GEMM.  The remaining per-edge work
+is a K-length dot — VPU-friendly — plus gather/segment-sum.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from .segment import masked_segment_mean, masked_segment_sum
+
+Mode = Literal["factored", "edge"]
+
+
+def apply_edge_mlp_hidden(params: list[dict], e: jnp.ndarray, activation) -> jnp.ndarray:
+    """Runs all but the last layer of the edge MLP (DenseNet, model.py:289-315).
+
+    ``params`` is a list of {'w': [in,out], 'b': [out]} for every Linear layer;
+    activation is applied after each layer except the last (which is *not*
+    applied here at all — callers fold the last layer into the factored form).
+    Returns the post-activation hidden features [E, K].
+    """
+    h = e
+    for layer in params[:-1]:
+        h = activation(h @ layer["w"] + layer["b"])
+    return h
+
+
+def edge_conditioned_conv(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    edge_attr: jnp.ndarray,
+    edge_mlp: list[dict],
+    root: jnp.ndarray,
+    bias: jnp.ndarray,
+    edge_mask: jnp.ndarray | None = None,
+    activation=jax.nn.relu,
+    aggr: str = "mean",
+    mode: Mode = "factored",
+    root_input: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """One edge-conditioned convolution layer (single graph, static shapes).
+
+    Args:
+      x: [N, C_in] node features entering the message computation.
+      senders/receivers: [E] int32.
+      edge_attr: [E, A].
+      edge_mlp: Linear params list; last layer maps K -> C_in*C_out.
+      root: [C_r, C_out] self-connection weight; bias: [C_out].
+      edge_mask: [E] bool.
+      activation: edge-MLP nonlinearity (ReLU for KernelNN kernels
+        model.py:550, LeakyReLU for TEECNet model.py:403).
+      aggr: 'mean' (reference default) or 'sum'.
+      mode: 'factored' (MXU-restructured, default) or 'edge' (literal
+        per-edge matrices, used for parity testing).
+      root_input: node features for the root/self term; defaults to ``x``.
+        TEECNet's KernelConv applies root to the raw input while messages use
+        ``linear(x)`` (model.py:430-445), so callers pass both.
+
+    Returns:
+      [N, C_out] updated node features.
+    """
+    n = x.shape[0]
+    w3, b3 = edge_mlp[-1]["w"], edge_mlp[-1]["b"]
+    k = w3.shape[0]
+    c_in = x.shape[1]
+    c_out = w3.shape[1] // c_in
+    hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)  # [E, K]
+
+    if mode == "edge":
+        w_e = (hidden @ w3 + b3).reshape(-1, c_in, c_out)
+        msg = jnp.einsum("ei,eio->eo", x[senders], w_e)
+    else:
+        m3 = w3.reshape(k, c_in, c_out)
+        b3m = b3.reshape(c_in, c_out)
+        u = jnp.einsum("ni,kio->nko", x, m3)  # [N, K, C_out] — MXU GEMM
+        v = x @ b3m  # [N, C_out]
+        msg = jnp.einsum("ek,eko->eo", hidden, u[senders]) + v[senders]
+
+    if aggr == "mean":
+        aggregated = masked_segment_mean(msg, receivers, n, edge_mask)
+    else:
+        aggregated = masked_segment_sum(msg, receivers, n, edge_mask)
+
+    xr = x if root_input is None else root_input
+    return aggregated + xr @ root + bias
