@@ -1,0 +1,46 @@
+"""DeepONet — branch/trunk operator network.
+
+Parity target: /root/reference/models/model.py:213-256.  Branch and trunk are
+3-layer ReLU MLPs; the output is their elementwise product evaluated on a unit
+meshgrid trunk input (model.py:235-256).  Factory quirk preserved at the
+registry level: ``init_model('deeponet', ...)`` requires ``trunk_size``
+(utils.py:37) which the shipped configs omit — the registry raises the same
+kind of error the reference would.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .common import mlp_apply, mlp_init
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepONet:
+    branch_input_dim: int
+    trunk_input_dim: int
+    hidden_dim: int
+    output_dim: int
+
+    def init(self, key) -> dict:
+        k1, k2 = jax.random.split(key)
+        h, o = self.hidden_dim, self.output_dim
+        return {
+            "branch": mlp_init(k1, [self.branch_input_dim, h, h, o]),
+            "trunk": mlp_init(k2, [self.trunk_input_dim, h, h, o]),
+        }
+
+    def apply(self, params: dict, branch_input: jnp.ndarray,
+              boundary_info=None) -> jnp.ndarray:
+        """branch_input: [B, n, n, C]; returns [B, n, n, output_dim]."""
+        b, n = branch_input.shape[0], branch_input.shape[1]
+        # get_grid (model.py:235-243): unit meshgrid, 'ij' indexing
+        r = jnp.linspace(0, 1, n)
+        gx, gy = jnp.meshgrid(r, r, indexing="ij")
+        grid = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1)[None], (b, n, n, 2))
+        branch_out = mlp_apply(params["branch"], branch_input, jax.nn.relu)
+        trunk_out = mlp_apply(params["trunk"], grid, jax.nn.relu)
+        return branch_out * trunk_out

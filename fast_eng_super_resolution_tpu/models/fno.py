@@ -1,0 +1,117 @@
+"""FNO2d — Fourier Neural Operator (2D) for regular-grid subdomains.
+
+Parity target: /root/reference/models/model.py:13-141.  Four spectral blocks
+(rFFT2 -> truncated complex mode mixing 'bixy,ioxy->boxy' -> irFFT2) with a
+1x1-conv skip and a per-block 1x1 MLP, GELU between blocks, domain padding 9,
+lift Linear(in_feats+2 -> width) with a normalized grid concat
+(model.py:100-141).  The reference hardcodes the lift input at 258
+(model.py:85); here it is ``in_feats + 2``.
+
+TPU notes: XLA lowers jnp.fft to a native TPU FFT; the mode-mix einsum is a
+small dense complex matmul that XLA fuses with the FFT shuffles.  Complex
+weights are stored as separate real/imag float32 arrays (TPU has no complex
+register type; this keeps checkpoints pure-real pytrees).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .common import linear, linear_init
+
+
+def _spectral_init(key, c_in: int, c_out: int, m1: int, m2: int) -> dict:
+    scale = 1.0 / (c_in * c_out)
+    ks = jax.random.split(key, 4)
+    shape = (c_in, c_out, m1, m2)
+    # reference: scale * rand(...) with complex entries (model.py:27-28)
+    return {
+        "w1_re": scale * jax.random.uniform(ks[0], shape),
+        "w1_im": scale * jax.random.uniform(ks[1], shape),
+        "w2_re": scale * jax.random.uniform(ks[2], shape),
+        "w2_im": scale * jax.random.uniform(ks[3], shape),
+    }
+
+
+def _spectral_conv(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndarray:
+    """SpectralConv2d.forward (model.py:35-49). x: [B, C, H, W]."""
+    h, w = x.shape[-2], x.shape[-1]
+    x_ft = jnp.fft.rfft2(x)  # [B, C, H, W//2+1] complex
+    w1 = p["w1_re"] + 1j * p["w1_im"]
+    w2 = p["w2_re"] + 1j * p["w2_im"]
+    top = jnp.einsum("bixy,ioxy->boxy", x_ft[:, :, :m1, :m2], w1)
+    bot = jnp.einsum("bixy,ioxy->boxy", x_ft[:, :, -m1:, :m2], w2)
+    c_out = w1.shape[1]
+    out_ft = jnp.zeros((x.shape[0], c_out, h, w // 2 + 1), jnp.complex64)
+    out_ft = out_ft.at[:, :, :m1, :m2].set(top)
+    out_ft = out_ft.at[:, :, -m1:, :m2].set(bot)
+    return jnp.fft.irfft2(out_ft, s=(h, w))
+
+
+def _conv1x1_init(key, c_in: int, c_out: int) -> dict:
+    # torch Conv2d(k=1) default init == Linear over the channel dim
+    return linear_init(key, c_in, c_out)
+
+
+def _conv1x1(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv on [B, C, H, W] == channel matmul."""
+    return jnp.einsum("bchw,cd->bdhw", x, p["w"]) + p["b"][None, :, None, None]
+
+
+def _mlp_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """MLP (model.py:51-61): conv1x1 -> gelu -> conv1x1 on [B, C, H, W]."""
+    return _conv1x1(p["mlp2"], jax.nn.gelu(_conv1x1(p["mlp1"], x), approximate=False))
+
+
+@dataclasses.dataclass(frozen=True)
+class FNO2d:
+    """Static config (model.py:63-99). ``in_feats`` is the raw field channels."""
+
+    modes1: int
+    modes2: int
+    width: int
+    in_feats: int = 256
+    padding: int = 9
+
+    def init(self, key) -> dict:
+        w = self.width
+        ks = jax.random.split(key, 14)
+        params = {
+            "p": linear_init(ks[0], self.in_feats + 2, w),
+            "q": {"mlp1": _conv1x1_init(ks[1], w, w * 4),
+                  "mlp2": _conv1x1_init(ks[2], w * 4, 128)},
+        }
+        for i in range(4):
+            params[f"conv{i}"] = _spectral_init(ks[3 + i], w, w, self.modes1, self.modes2)
+            params[f"w{i}"] = _conv1x1_init(ks[7 + i], w, w)
+            params[f"mlp{i}"] = {"mlp1": _conv1x1_init(ks[11 if i < 3 else 13], w, w),
+                                 "mlp2": _conv1x1_init(jax.random.fold_in(ks[11 if i < 3 else 13], i), w, w)}
+        return params
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, H, W, C_in] -> [B, H, W, 128] (matches model.py:100-133)."""
+        b, h, w_dim = x.shape[0], x.shape[1], x.shape[2]
+        gridx = jnp.linspace(0, 1, h).reshape(1, h, 1, 1)
+        gridx = jnp.broadcast_to(gridx, (b, h, w_dim, 1))
+        gridy = jnp.linspace(0, 1, w_dim).reshape(1, 1, w_dim, 1)
+        gridy = jnp.broadcast_to(gridy, (b, h, w_dim, 1))
+        x = jnp.concatenate([x, gridx, gridy], axis=-1)
+        x = linear(params["p"], x)
+        x = jnp.transpose(x, (0, 3, 1, 2))  # [B, C, H, W]
+        pad = self.padding
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, pad)))
+
+        for i in range(4):
+            x1 = _spectral_conv(params[f"conv{i}"], x, self.modes1, self.modes2)
+            x1 = _mlp_block(params[f"mlp{i}"], x1)
+            x2 = _conv1x1(params[f"w{i}"], x)
+            x = x1 + x2
+            if i < 3:
+                x = jax.nn.gelu(x, approximate=False)
+
+        x = x[..., :-pad, :-pad]
+        x = _mlp_block(params["q"], x)
+        return jnp.transpose(x, (0, 2, 3, 1))

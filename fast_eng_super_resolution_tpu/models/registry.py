@@ -1,0 +1,61 @@
+"""Model factory — mirrors the reference's ``init_model`` surface.
+
+Parity target: /root/reference/utils.py:29-43.  Notable reference quirks kept
+intentionally compatible (documented, not blindly copied):
+
+- ``init_model('fno', in_channels, out_channels, **kw)`` binds in/out channels
+  positionally onto FNO2d's ``modes1/modes2`` (utils.py:30-31 vs model.py:64).
+  We honor that binding so the shipped YAML configs produce the same network.
+- ``'deeponet'`` requires a ``trunk_size`` key absent from all shipped configs
+  (utils.py:37); we raise a clear KeyError naming the missing key.
+- ``'neuralop'`` maps width->width, ker_width=width, depth=num_layers
+  (utils.py:41).
+"""
+
+from __future__ import annotations
+
+from .deeponet import DeepONet
+from .fno import FNO2d
+from .graphsage import GraphSAGE
+from .kernelnn import KernelNN
+from .teecnet import TEECNet
+
+GRAPH_MODELS = ("teecnet", "graphsage", "neuralop")
+GRID_MODELS = ("fno", "deeponet")
+
+
+def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
+    """Returns a static model-config object with .init/.apply/.import_pth."""
+    if type == "fno":
+        return FNO2d(modes1=in_channels, modes2=out_channels, width=kwargs["width"])
+    elif type == "teecnet":
+        return TEECNet(
+            in_channels=in_channels,
+            width=kwargs["width"],
+            out_channels=out_channels,
+            num_layers=kwargs.get("num_layers", 4),
+        )
+    elif type == "deeponet":
+        if "trunk_size" not in kwargs:
+            raise KeyError(
+                "model 'deeponet' requires exp_config key 'trunk_size' "
+                "(same requirement as reference utils.py:37)")
+        return DeepONet(
+            branch_input_dim=in_channels,
+            trunk_input_dim=kwargs["trunk_size"],
+            hidden_dim=kwargs["width"],
+            output_dim=out_channels,
+        )
+    elif type == "graphsage":
+        return GraphSAGE(in_channels, out_channels, num_layers=5)
+    elif type == "neuralop":
+        return KernelNN(
+            width=kwargs["width"],
+            ker_width=kwargs["width"],
+            depth=kwargs["num_layers"],
+            ker_in=1,
+            in_width=in_channels,
+            out_width=out_channels,
+        )
+    else:
+        raise ValueError(f"Invalid model type: {type}")

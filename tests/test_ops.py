@@ -1,0 +1,165 @@
+"""Unit tests for segment ops, losses, and the remaining model zoo."""
+
+import numpy as np
+import pytest
+
+from conftest import make_random_graph
+
+
+def test_segment_mean_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.ops.segment import masked_segment_mean
+
+    e, n, c = 64, 10, 3
+    data = rng.normal(size=(e, c)).astype(np.float32)
+    seg = rng.integers(0, n, size=e).astype(np.int32)
+    mask = rng.random(e) > 0.3
+    out = np.asarray(masked_segment_mean(jnp.asarray(data), jnp.asarray(seg), n, jnp.asarray(mask)))
+    expected = np.zeros((n, c), np.float32)
+    for i in range(n):
+        sel = (seg == i) & mask
+        if sel.sum():
+            expected[i] = data[sel].mean(axis=0)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_gradient_loss_matches_torch_math(rng):
+    """Mirror GradientbasedLoss.forward (scheduler_gnn.py:481-501) in numpy."""
+    from fast_eng_super_resolution_tpu.ops.loss import compute_node_weight, gradient_based_loss
+
+    g = make_random_graph(rng, n=30, e=100)
+    pred = rng.normal(size=(30, 4)).astype(np.float32)
+    s, r, ea, y = g["senders"], g["receivers"], g["edge_attr"], g["y"]
+
+    grad_pred = (pred[s] - pred[r]) / ea
+    grad_y = (y[s] - y[r]) / ea
+    ew = np.max(grad_pred - grad_y, axis=1)
+    nw = np.zeros(30)
+    np.add.at(nw, r, ew)
+    nw = np.minimum(nw, 1.0)
+    expected = np.mean((pred - y) ** 2) * nw.sum()
+
+    got = float(gradient_based_loss(pred, y, s, r, ea))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    # compute_node_weight (scheduler_gnn.py:503-515): scatter at senders, no clamp
+    nw2 = np.zeros(30)
+    np.add.at(nw2, s, ew)
+    expected_w = nw2.sum() * np.ones(30)
+    got_w = np.asarray(compute_node_weight(pred, y, s, r, ea, 30))
+    np.testing.assert_allclose(got_w, expected_w, rtol=1e-4)
+
+
+def test_loss_padding_invariance(rng):
+    from fast_eng_super_resolution_tpu.core.graph import pad_graph
+    from fast_eng_super_resolution_tpu.ops.loss import training_loss
+
+    g = make_random_graph(rng, n=30, e=100)
+    pred = rng.normal(size=(30, 4)).astype(np.float32)
+    raw = float(training_loss(pred, g["y"], g["senders"], g["receivers"], g["edge_attr"]))
+
+    p = pad_graph(g["x"], g["y"], g["pos"], g["senders"], g["receivers"], g["edge_attr"],
+                  n_pad=64, e_pad=128)
+    pred_pad = np.zeros((64, 4), np.float32)
+    pred_pad[:30] = pred
+    padded = float(training_loss(pred_pad, np.asarray(p.y), np.asarray(p.senders),
+                                 np.asarray(p.receivers), np.asarray(p.edge_attr),
+                                 edge_mask=np.asarray(p.edge_mask),
+                                 node_mask=np.asarray(p.node_mask)))
+    np.testing.assert_allclose(padded, raw, rtol=1e-4)
+
+
+def test_fno_forward_shapes():
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    m = FNO2d(modes1=4, modes2=4, width=8, in_feats=3)
+    params = m.init(jax.random.PRNGKey(0))
+    x = np.ones((2, 16, 16, 3), np.float32)
+    out = np.asarray(m.apply(params, x))
+    assert out.shape == (2, 16, 16, 128)
+    assert np.isfinite(out).all()
+
+
+def test_fno_spectral_conv_matches_torch(rng):
+    """SpectralConv2d parity vs direct torch.fft math (model.py:35-49)."""
+    import torch
+
+    from fast_eng_super_resolution_tpu.models.fno import _spectral_conv
+
+    b, c, h, w, m1, m2 = 2, 3, 12, 10, 3, 4
+    x = rng.normal(size=(b, c, h, w)).astype(np.float32)
+    w1 = (rng.normal(size=(c, c, m1, m2)) + 1j * rng.normal(size=(c, c, m1, m2))).astype(np.complex64)
+    w2 = (rng.normal(size=(c, c, m1, m2)) + 1j * rng.normal(size=(c, c, m1, m2))).astype(np.complex64)
+
+    xt = torch.as_tensor(x)
+    x_ft = torch.fft.rfft2(xt)
+    out_ft = torch.zeros(b, c, h, w // 2 + 1, dtype=torch.cfloat)
+    out_ft[:, :, :m1, :m2] = torch.einsum("bixy,ioxy->boxy", x_ft[:, :, :m1, :m2], torch.as_tensor(w1))
+    out_ft[:, :, -m1:, :m2] = torch.einsum("bixy,ioxy->boxy", x_ft[:, :, -m1:, :m2], torch.as_tensor(w2))
+    expected = torch.fft.irfft2(out_ft, s=(h, w)).numpy()
+
+    p = {"w1_re": w1.real, "w1_im": w1.imag, "w2_re": w2.real, "w2_im": w2.imag}
+    got = np.asarray(_spectral_conv(p, x, m1, m2))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_deeponet_and_graphsage_forward(rng):
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.deeponet import DeepONet
+    from fast_eng_super_resolution_tpu.models.graphsage import GraphSAGE
+
+    d = DeepONet(branch_input_dim=3, trunk_input_dim=2, hidden_dim=16, output_dim=4)
+    dp = d.init(jax.random.PRNGKey(1))
+    out = np.asarray(d.apply(dp, np.ones((2, 8, 8, 3), np.float32)))
+    assert out.shape == (2, 8, 8, 4)
+
+    g = make_random_graph(rng, n=40, e=200)
+    s = GraphSAGE(in_channels=4, out_channels=4, num_layers=5)
+    sp = s.init(jax.random.PRNGKey(2))
+    out = np.asarray(s.apply(sp, g["x"], g["senders"], g["receivers"]))
+    assert out.shape == (40, 4)
+    assert np.isfinite(out).all()
+
+
+def test_registry_factory_quirks():
+    from fast_eng_super_resolution_tpu.models.registry import init_model
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    m = init_model("neuralop", 4, 4, width=43, num_layers=5, n_clusters=1, root="x")
+    assert isinstance(m, KernelNN) and m.width == 43 and m.depth == 5
+
+    # fno binds in/out onto modes1/modes2 (utils.py:30-31)
+    f = init_model("fno", 8, 6, width=20)
+    assert isinstance(f, FNO2d) and f.modes1 == 8 and f.modes2 == 6
+
+    with np.testing.assert_raises(KeyError):
+        init_model("deeponet", 4, 4, width=16)
+    with np.testing.assert_raises(ValueError):
+        init_model("nope", 4, 4)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+
+    from fast_eng_super_resolution_tpu.core.checkpoint import load_params, save_params
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    m = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    params = m.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "p.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+
+    g = make_random_graph(rng, n=20, e=60)
+    flat_a = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(params)])
+    flat_b = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(loaded)])
+    np.testing.assert_array_equal(flat_a, flat_b)  # params roundtrip bit-exact
+
+    a = np.asarray(m.apply(params, g["x"], g["senders"], g["receivers"], g["edge_attr"]))
+    b = np.asarray(m.apply(loaded, g["x"], g["senders"], g["receivers"], g["edge_attr"]))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
