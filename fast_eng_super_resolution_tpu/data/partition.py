@@ -1,0 +1,163 @@
+"""Spatial domain decomposition (the framework's "context parallelism").
+
+Replaces vtkRedistributeDataSetFilter (METIS-backed kd-tree cuts,
+/root/reference/dataset/GraphDataset.py:554-576, 1208-1230) with a
+load-balanced recursive-coordinate-bisection (RCB) partitioner over cell
+centroids.  Supports both reference boundary modes:
+
+- 'one_region'  (SetBoundaryModeToAssignToOneRegion, :565 — duct path): each
+  cell goes to the region containing its centroid; nodes on cut planes are
+  still duplicated across the partitions that share them.
+- 'all_intersecting' (SetBoundaryModeToAssignToAllIntersectingRegions, :1219 —
+  ansys path): each cell goes to every region its bounding box intersects,
+  producing overlapping subdomains reconciled by overlap averaging at
+  reconstruction (reconstruct.py).
+
+Also provides the legacy uniform box-grid partitioner
+(GenericGraphDataset._get_partiton_domain, GraphDataset.py:101-163).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .tensorize import cells_to_edges, edge_lengths
+
+
+@dataclasses.dataclass
+class Subdomain:
+    """One extracted subdomain with local connectivity + global node ids."""
+
+    x: np.ndarray
+    y: np.ndarray
+    pos: np.ndarray
+    senders: np.ndarray
+    receivers: np.ndarray
+    edge_attr: np.ndarray
+    global_node_ids: np.ndarray
+    cell_ids: np.ndarray  # indices into the full-mesh cell array
+
+
+def rcb_regions(centroids: np.ndarray, num_parts: int,
+                bounds: tuple[np.ndarray, np.ndarray] | None = None):
+    """Recursive coordinate bisection: returns (assignment [C], boxes list).
+
+    Splits are weighted medians along the longest axis of the current point
+    population, so leaf regions have near-equal cell counts (the load-balance
+    property the reference gets from vtkRedistributeDataSetFilter).
+    """
+    n = centroids.shape[0]
+    assignment = np.zeros(n, np.int32)
+    lo = centroids.min(axis=0) if bounds is None else np.asarray(bounds[0], float)
+    hi = centroids.max(axis=0) if bounds is None else np.asarray(bounds[1], float)
+    boxes: list[tuple[np.ndarray, np.ndarray]] = [None] * num_parts
+    next_label = [0]
+
+    def split(idx: np.ndarray, box_lo: np.ndarray, box_hi: np.ndarray, parts: int):
+        if parts == 1:
+            label = next_label[0]
+            next_label[0] += 1
+            assignment[idx] = label
+            boxes[label] = (box_lo.copy(), box_hi.copy())
+            return
+        n_left = parts // 2
+        frac = n_left / parts
+        pts = centroids[idx]
+        axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0))) if len(idx) else 0
+        cut = np.quantile(pts[:, axis], frac) if len(idx) else 0.5 * (box_lo[axis] + box_hi[axis])
+        left = idx[pts[:, axis] <= cut]
+        right = idx[pts[:, axis] > cut]
+        # guard degenerate quantile (many equal coords): rebalance by argsort
+        if len(left) == 0 or len(right) == 0:
+            order = idx[np.argsort(pts[:, axis], kind="stable")]
+            k = max(1, int(round(frac * len(idx))))
+            left, right = order[:k], order[k:]
+            cut = centroids[order[min(k, len(idx) - 1)], axis]
+        lo_l, hi_l = box_lo.copy(), box_hi.copy()
+        hi_l[axis] = cut
+        lo_r, hi_r = box_lo.copy(), box_hi.copy()
+        lo_r[axis] = cut
+        split(left, lo_l, hi_l, n_left)
+        split(right, lo_r, hi_r, parts - n_left)
+
+    split(np.arange(n), lo.astype(float), hi.astype(float), num_parts)
+    return assignment, boxes
+
+
+def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
+                 mode: str = "one_region"):
+    """Returns per-partition cell-index lists under the requested boundary mode."""
+    centroids = points[cells].mean(axis=1)
+    assignment, boxes = rcb_regions(centroids, num_parts)
+    if mode == "one_region":
+        return [np.where(assignment == p)[0] for p in range(num_parts)], boxes
+
+    if mode != "all_intersecting":
+        raise ValueError(f"unknown boundary mode: {mode}")
+    cell_lo = points[cells].min(axis=1)
+    cell_hi = points[cells].max(axis=1)
+    out = []
+    for p in range(num_parts):
+        blo, bhi = boxes[p]
+        hit = np.all(cell_hi >= blo[None, :], axis=1) & np.all(cell_lo <= bhi[None, :], axis=1)
+        out.append(np.where(hit)[0])
+    return out, boxes
+
+
+def extract_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
+                       y: np.ndarray, num_parts: int,
+                       mode: str = "all_intersecting") -> list[Subdomain]:
+    """Full decomposition: RCB assign -> per-partition local graphs.
+
+    Mirrors the reference's per-partition h5 payload (GraphDataset.py:1276-1284):
+    x, y, pos, edge_index, edge_attr, global_node_ids.
+    """
+    cell_lists, _ = assign_cells(points, cells, num_parts, mode)
+    subs = []
+    for cell_ids in cell_lists:
+        if len(cell_ids) == 0:
+            continue
+        sub_cells = cells[cell_ids]
+        gids = np.unique(sub_cells)
+        local = np.full(points.shape[0], -1, np.int64)
+        local[gids] = np.arange(len(gids))
+        local_cells = local[sub_cells]
+        edges = cells_to_edges(local_cells)
+        pos = points[gids]
+        subs.append(Subdomain(
+            x=x[gids].astype(np.float32), y=y[gids].astype(np.float32),
+            pos=pos.astype(np.float32),
+            senders=edges[:, 0], receivers=edges[:, 1],
+            edge_attr=edge_lengths(pos, edges),
+            global_node_ids=gids.astype(np.int64),
+            cell_ids=np.asarray(cell_ids, np.int64),
+        ))
+    return subs
+
+
+def uniform_box_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
+                           y: np.ndarray, sub_size: float) -> list[Subdomain]:
+    """Legacy uniform-grid partitioner (GraphDataset.py:121-161): axis-aligned
+    cubes of edge ``sub_size``; cells binned by centroid."""
+    centroids = points[cells].mean(axis=1)
+    lo = points.min(axis=0)
+    bins = np.floor((centroids - lo) / sub_size).astype(np.int64)
+    keys = bins[:, 0] * 73856093 ^ bins[:, 1] * 19349663 ^ bins[:, 2] * 83492791
+    subs = []
+    for key in np.unique(keys):
+        cell_ids = np.where(keys == key)[0]
+        sub_cells = cells[cell_ids]
+        gids = np.unique(sub_cells)
+        local = np.full(points.shape[0], -1, np.int64)
+        local[gids] = np.arange(len(gids))
+        edges = cells_to_edges(local[sub_cells])
+        pos = points[gids]
+        subs.append(Subdomain(
+            x=x[gids].astype(np.float32), y=y[gids].astype(np.float32),
+            pos=pos.astype(np.float32), senders=edges[:, 0], receivers=edges[:, 1],
+            edge_attr=edge_lengths(pos, edges), global_node_ids=gids.astype(np.int64),
+            cell_ids=cell_ids.astype(np.int64),
+        ))
+    return subs

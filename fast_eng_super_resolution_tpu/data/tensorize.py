@@ -1,0 +1,106 @@
+"""Mesh -> graph tensorization (vectorized host-side ETL).
+
+Replaces the reference's pure-Python hot loops (SURVEY.md §3.4):
+``vtk_to_pyg``'s O(cells * k^2) Python set inserts
+(/root/reference/dataset/GraphDataset.py:853-865), per-point VTK accessor
+loops (:845), and KDTree physics mapping (:871-890) — with numpy-vectorized
+equivalents: cell-clique edge extraction via a single unique() over sorted
+pair arrays, and scipy cKDTree with parallel queries.  These run once per mesh
+(ETL), so host numpy is the right tool; the device path starts at the padded
+graph batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+# VTK-compatible cell type ids (used by our VTU writer and the partitioner).
+VTK_TETRA = 10
+VTK_HEXAHEDRON = 12
+VTK_WEDGE = 13
+VTK_PYRAMID = 14
+VTK_TRIANGLE = 5
+VTK_QUAD = 9
+
+CELL_NUM_POINTS = {VTK_TETRA: 4, VTK_HEXAHEDRON: 8, VTK_WEDGE: 6, VTK_PYRAMID: 5,
+                   VTK_TRIANGLE: 3, VTK_QUAD: 4}
+
+
+def cells_to_edges(cells: np.ndarray, num_nodes: int | None = None) -> np.ndarray:
+    """Directed edge list from cell cliques (both directions, deduplicated).
+
+    Equivalent to the reference's per-cell j<k double loop over point pairs
+    (GraphDataset.py:858-863) but vectorized: for uniform cell arrays
+    [num_cells, k] we materialize all ordered pairs and unique() them.
+
+    Args:
+      cells: [num_cells, k] int array of node indices (one cell type), or an
+        object array / list of variable-length cells.
+
+    Returns:
+      edges: [E, 2] int32 (sender, receiver), deduplicated, no self-loops.
+    """
+    if isinstance(cells, np.ndarray) and cells.ndim == 2:
+        k = cells.shape[1]
+        iu, ju = np.triu_indices(k, 1)
+        a = cells[:, iu].reshape(-1)
+        b = cells[:, ju].reshape(-1)
+    else:
+        aa, bb = [], []
+        for cell in cells:
+            cell = np.asarray(cell)
+            k = len(cell)
+            iu, ju = np.triu_indices(k, 1)
+            aa.append(cell[iu])
+            bb.append(cell[ju])
+        a = np.concatenate(aa) if aa else np.zeros(0, np.int64)
+        b = np.concatenate(bb) if bb else np.zeros(0, np.int64)
+
+    both = np.concatenate([np.stack([a, b], 1), np.stack([b, a], 1)], axis=0)
+    both = both[both[:, 0] != both[:, 1]]
+    edges = np.unique(both, axis=0)
+    return edges.astype(np.int32)
+
+
+def edge_lengths(pos: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Edge length attribute [E, 1] (GraphDataset.py:866-867)."""
+    d = np.linalg.norm(pos[edges[:, 0]] - pos[edges[:, 1]], axis=1)
+    return d.astype(np.float32)[:, None]
+
+
+def map_physics_to_mesh(mesh_points: np.ndarray, physics_points: np.ndarray,
+                        workers: int = -1) -> np.ndarray:
+    """Nearest-neighbor map from solver output rows to mesh nodes.
+
+    Reference: _map_physics_data_to_mesh (GraphDataset.py:871-890), KDTree
+    with 16 workers.  Returns int64 indices into ``physics_points`` rows.
+    """
+    tree = cKDTree(physics_points)
+    _, nearest = tree.query(mesh_points, workers=workers)
+    return nearest.astype(np.int64)
+
+
+def normalize_fields(velocity: np.ndarray, pressure: np.ndarray,
+                     style: str = "ansys") -> tuple[np.ndarray, np.ndarray]:
+    """Per-mesh normalization.
+
+    'ansys' (GraphDataset.py:960-976): v /= max|v|; p -> (p-min)/max(p-min).
+    'duct'  (GraphDataset.py:366-381): v /= max|v|; p /= max(p).
+    """
+    v = velocity / np.max(np.abs(velocity))
+    if style == "ansys":
+        p = pressure - np.min(pressure)
+        p = p / np.max(p)
+    else:
+        p = pressure / np.max(pressure)
+    return v.astype(np.float32), p.astype(np.float32)
+
+
+def wall_node_indices(wall_cells) -> np.ndarray:
+    """Unique node ids appearing in wall surface cells (GraphDataset.py:931-940)."""
+    if isinstance(wall_cells, np.ndarray) and wall_cells.ndim == 2:
+        return np.unique(wall_cells).astype(np.int64)
+    if len(wall_cells) == 0:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate([np.asarray(c).ravel() for c in wall_cells])).astype(np.int64)

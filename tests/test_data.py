@@ -1,0 +1,151 @@
+"""Data layer tests: tensorize, synthetic meshes, partitioning, reconstruction, VTU IO."""
+
+import numpy as np
+
+
+def test_cells_to_edges_matches_set_loop(rng):
+    """Vectorized edge extraction must equal the reference's set-insert loop
+    (GraphDataset.py:853-865) semantics."""
+    from fast_eng_super_resolution_tpu.data.tensorize import cells_to_edges
+
+    cells = rng.integers(0, 20, size=(15, 4)).astype(np.int64)
+    edge_set = set()
+    for cell in cells:
+        k = len(cell)
+        for j in range(k):
+            for l in range(j + 1, k):
+                if cell[j] != cell[l]:
+                    edge_set.add((cell[j], cell[l]))
+                    edge_set.add((cell[l], cell[j]))
+    expected = np.array(sorted(edge_set))
+    got = cells_to_edges(cells)
+    np.testing.assert_array_equal(np.sort(got, axis=0), np.sort(expected, axis=0))
+    # also variable-length (list) input
+    got2 = cells_to_edges(list(cells))
+    np.testing.assert_array_equal(np.sort(got2, axis=0), np.sort(expected, axis=0))
+
+
+def test_synthetic_duct_mesh():
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(8, 5, 5)
+    assert mesh.points.shape == (200, 3)
+    assert mesh.cells.shape[1] == 4
+    assert mesh.cells.max() < 200
+    v, p = duct_field(mesh.points)
+    # no-slip-ish: wall velocity below centerline velocity
+    assert np.abs(v[mesh.wall_mask, 0]).max() < np.abs(v[:, 0]).max() * 0.5
+    assert np.isfinite(v).all() and np.isfinite(p).all()
+
+
+def test_rcb_partition_balance_and_cover(rng):
+    from fast_eng_super_resolution_tpu.data.partition import assign_cells
+    from fast_eng_super_resolution_tpu.data.synthetic import make_duct_mesh
+
+    mesh = make_duct_mesh(12, 6, 6)
+    for mode in ("one_region", "all_intersecting"):
+        lists, boxes = assign_cells(mesh.points, mesh.cells, 4, mode)
+        assert len(lists) == 4 and len(boxes) == 4
+        covered = np.unique(np.concatenate(lists))
+        assert len(covered) == len(mesh.cells)  # every cell assigned somewhere
+        if mode == "one_region":
+            assert sum(len(l) for l in lists) == len(mesh.cells)
+            counts = [len(l) for l in lists]
+            assert max(counts) <= 1.5 * min(counts)  # balanced
+        else:
+            assert sum(len(l) for l in lists) >= len(mesh.cells)  # overlap
+
+
+def test_extract_and_reconstruct_roundtrip():
+    """Partition -> per-subdomain y -> overlap-average == original field."""
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.reconstruct import (
+        make_overlap_average_device, overlap_average)
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(10, 5, 5)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], axis=1)
+    subs = extract_subdomains(mesh.points, mesh.cells, y, y, 4, "all_intersecting")
+    assert len(subs) >= 2
+    # every node covered by at least one subdomain
+    covered = np.unique(np.concatenate([s.global_node_ids for s in subs]))
+    assert len(covered) == len(mesh.points)
+
+    recon = overlap_average([s.y for s in subs], [s.global_node_ids for s in subs],
+                            len(mesh.points))
+    np.testing.assert_allclose(recon, y, rtol=1e-5, atol=1e-6)
+
+    # device path agrees
+    preds = np.concatenate([s.y for s in subs])
+    gids = np.concatenate([s.global_node_ids for s in subs]).astype(np.int32)
+    w = np.ones(len(gids), np.float32)
+    fn = make_overlap_average_device(len(mesh.points))
+    recon_dev = np.asarray(fn(preds, gids, w))
+    np.testing.assert_allclose(recon_dev, y, rtol=1e-4, atol=1e-5)
+
+
+def test_subdomain_edges_match_full_mesh():
+    """Edges inside a subdomain must be exactly the full-mesh edges among its cells."""
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+    from fast_eng_super_resolution_tpu.data.tensorize import cells_to_edges
+
+    mesh = make_duct_mesh(8, 4, 4)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], axis=1)
+    subs = extract_subdomains(mesh.points, mesh.cells, y, y, 2, "one_region")
+    for s in subs:
+        sub_cells_global = mesh.cells[s.cell_ids]
+        expected = cells_to_edges(sub_cells_global)
+        got = np.stack([s.global_node_ids[s.senders], s.global_node_ids[s.receivers]], 1)
+        got = np.unique(got, axis=0)
+        np.testing.assert_array_equal(got, np.unique(expected, axis=0))
+
+
+def test_gaussian_interpolation_reproduces_smooth_field():
+    from fast_eng_super_resolution_tpu.data.synthetic import make_duct_mesh
+    from fast_eng_super_resolution_tpu.ops.interpolate import (
+        build_neighbor_lists, gaussian_interpolate_device, gaussian_interpolate_host)
+
+    low = make_duct_mesh(8, 4, 4)
+    high = make_duct_mesh(14, 7, 7)
+    f = (low.points[:, :1] * 2 + low.points[:, 1:2]).astype(np.float32)
+    truth = (high.points[:, :1] * 2 + high.points[:, 1:2]).astype(np.float32)
+    out = gaussian_interpolate_host(low.points, f, high.points, radius=0.3)
+    err = np.abs(out - truth).mean()
+    assert err < 0.05, err
+
+    idxs, dists, mask = build_neighbor_lists(low.points, high.points, 0.3)
+    out_dev = np.asarray(gaussian_interpolate_device(f, idxs, dists, mask, 0.3))
+    np.testing.assert_allclose(out_dev, out, rtol=1e-4, atol=1e-5)
+
+
+def test_vtu_roundtrip(tmp_path, rng):
+    from fast_eng_super_resolution_tpu.data.synthetic import make_duct_mesh
+    from fast_eng_super_resolution_tpu.data.vtu import read_vtu, write_vtu
+
+    mesh = make_duct_mesh(5, 4, 3)
+    vel = rng.normal(size=(len(mesh.points), 3)).astype(np.float32)
+    pres = rng.normal(size=(len(mesh.points),)).astype(np.float32)
+    path = str(tmp_path / "out.vtu")
+    write_vtu(path, mesh.points, mesh.cells, mesh.cell_types,
+              point_data={"velocity": vel, "pressure": pres})
+    back = read_vtu(path)
+    np.testing.assert_allclose(back["points"], mesh.points)
+    np.testing.assert_array_equal(back["cells"], mesh.cells)
+    np.testing.assert_array_equal(back["cell_types"], mesh.cell_types)
+    np.testing.assert_allclose(back["point_data"]["velocity"], vel)
+    np.testing.assert_allclose(back["point_data"]["pressure"], pres)
+
+
+def test_make_sample_pair_end_to_end():
+    from fast_eng_super_resolution_tpu.data.synthetic import make_sample_pair
+
+    s = make_sample_pair()
+    assert s["x"].shape == s["y"].shape
+    assert s["x"].shape[1] == 4
+    assert np.isfinite(s["x"]).all() and np.isfinite(s["y"]).all()
+    # interpolated input should correlate strongly with the target
+    cc = np.corrcoef(s["x"][:, 0], s["y"][:, 0])[0, 1]
+    assert cc > 0.95, cc
