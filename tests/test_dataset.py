@@ -1,0 +1,98 @@
+"""End-to-end dataset ETL tests (synthetic CFF/CSV raw -> h5 partition cache)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    root = str(tmp_path_factory.mktemp("synth"))
+    return SyntheticDataset(root=root, partition=True, sub_size=4,
+                            n_high=(10, 5, 5), n_low=(6, 3, 3))
+
+
+def test_synthetic_etl_layout(synth):
+    # raw files in real formats
+    assert os.path.exists(os.path.join(synth.raw_dir, "0degree_high.cas.h5"))
+    assert os.path.exists(os.path.join(synth.raw_dir, "0degree"))
+    # processed annotated VTUs (GraphDataset.py:1032-1036 layout)
+    assert os.path.exists(os.path.join(synth.processed_dir, "mesh_0_high.vtu"))
+    # partition cache with reference group layout (GraphDataset.py:1278-1284)
+    import h5py
+    with h5py.File(synth.partition_path(), "r") as f:
+        assert "mesh_0" in f and "subdomain_0" in f["mesh_0"]
+        g = f["mesh_0/subdomain_0"]
+        for key in ("x", "y", "pos", "edge_index", "edge_attr", "global_node_ids"):
+            assert key in g, key
+        assert g["edge_index"].shape[0] == 2
+
+
+def test_dataset_access_api(synth):
+    assert synth.num_meshes == 4
+    n = len(synth)
+    assert n >= 8  # 4 meshes x >=2 nonempty subdomains
+    d = synth.get(0)
+    assert d["x"].shape[1] == 4 and d["y"].shape[1] == 4
+    assert d["senders"].max() < d["x"].shape[0]
+
+    sample = synth.get_one_full_sample(2)
+    assert len(sample) >= 2
+    full = synth.full_mesh(2)
+    covered = np.unique(np.concatenate([s["global_node_ids"] for s in sample]))
+    assert len(covered) == len(full["points"])
+
+
+def test_input_correlates_with_target(synth):
+    """The interpolated low-res input must track the high-res truth."""
+    full = synth.full_mesh(0)
+    cc = np.corrcoef(full["x"][:, 0], full["y"][:, 0])[0, 1]
+    assert cc > 0.9, cc
+    assert np.isfinite(full["x"]).all() and np.isfinite(full["y"]).all()
+
+
+def test_reconstruction_from_dataset_sample(synth):
+    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
+
+    sample = synth.get_one_full_sample(0)
+    full = synth.full_mesh(0)
+    recon = overlap_average([s["y"] for s in sample],
+                            [s["global_node_ids"] for s in sample],
+                            len(full["points"]))
+    np.testing.assert_allclose(recon, full["y"], rtol=1e-5, atol=1e-6)
+
+
+def test_duct_dataset_with_msh_raw(tmp_path):
+    """DuctAnalysisDataset pipeline over generated .msh + duct-style CSV."""
+    from fast_eng_super_resolution_tpu.data.dataset import (
+        COL_P_DUCT, DuctAnalysisDataset, write_physics_csv)
+    from fast_eng_super_resolution_tpu.data.fluent_mesh import mesh_from_cells
+    from fast_eng_super_resolution_tpu.data.fluent_msh import write_msh
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    root = str(tmp_path / "duct")
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw)
+    rng = np.random.default_rng(1)
+    for name, dims in (("Mesh_Output_High.msh", (8, 5, 5)),
+                       ("Mesh_Output_Med.msh", (5, 3, 3)),
+                       ("Mesh_Output_Low.msh", (4, 3, 3))):
+        mesh = make_duct_mesh(*dims)
+        write_msh(os.path.join(raw, name), mesh_from_cells(mesh.points, mesh.cells))
+        v, p = duct_field(mesh.points)
+        p = p + 0.5  # keep strictly positive for the duct p/max(p) norm
+        perm = rng.permutation(len(mesh.points))
+        tag = {"Mesh_Output_High.msh": "High", "Mesh_Output_Med.msh": "Med",
+               "Mesh_Output_Low.msh": "Low"}[name]
+        write_physics_csv(os.path.join(raw, f"Output_Summary_{tag}_100"),
+                          mesh.points[perm], v[perm], p[perm], COL_P_DUCT)
+
+    ds = DuctAnalysisDataset(root=root, partition=True, sub_size=2)
+    assert len(ds) == 2
+    d = ds.get(0)
+    assert d["x"].shape[1] == 4
+    sample = ds.get_one_full_sample()
+    assert len(sample) == 2
