@@ -1,0 +1,148 @@
+"""The jit training/eval/predict engine over padded graph batches.
+
+Replaces the reference's twin training paths — the single-device epoch loop
+(/root/reference/models/scheduler_gnn.py:116-189) and the mp.spawn+DDP worker
+(:349-469) — with ONE program: a jit step over a sharded GraphBatch.  On a
+device mesh the batch is sharded on the ``data`` axis and XLA inserts the
+gradient all-reduce over ICI (the explicit analogue of DDP's implicit
+all-reduce at :386); single-chip is the same code with a 1-device mesh.
+
+Loss semantics match the reference's PyG batching: subdomains in a batch are
+treated as one merged graph — MSE over all real nodes of the batch times the
+summed clamped gradient weight (scheduler_gnn.py:481-501), plus
+``0.1 * max |err|`` (:151-154).  See ops/loss.py for the drift notes.
+
+Optimizer: Adam (reference :139, :391) with host-controlled LR mirroring both
+reference schedules: StepLR(step_size, gamma) (:392-394) and
+ReduceLROnPlateau(factor=0.5, patience=5) (:140).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.graph import GraphBatch
+from ..ops.loss import gradient_weight_scalar, linf_loss
+
+
+def batched_loss(model, params, batch: GraphBatch, kind: str = "gradient",
+                 linf_weight: float = 0.1) -> jnp.ndarray:
+    """Reference-faithful loss over a batch of padded subdomain graphs."""
+
+    def per_graph(g: GraphBatch):
+        pred = model.apply(params, g.x, g.senders, g.receivers, g.edge_attr,
+                           edge_mask=g.edge_mask)
+        m = g.node_mask[:, None].astype(pred.dtype)
+        sq_sum = jnp.sum((pred - g.y) ** 2 * m)
+        n_real = jnp.sum(m) * pred.shape[-1]
+        w = gradient_weight_scalar(pred, g.y, g.senders, g.receivers, g.edge_attr,
+                                   g.edge_mask, g.node_mask)
+        linf = linf_loss(pred, g.y, g.node_mask)
+        return sq_sum, n_real, w, linf
+
+    sq_sum, n_real, w, linf = jax.vmap(per_graph)(batch)
+    mse = jnp.sum(sq_sum) / jnp.maximum(jnp.sum(n_real), 1.0)
+    if kind == "mse":
+        return mse
+    return mse * jnp.sum(w) + linf_weight * jnp.max(linf)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the jit'd step/eval functions and host-side LR control."""
+
+    model: object
+    lr: float
+    loss_kind: str = "gradient"
+    linf_weight: float = 0.1
+    donate: bool = True
+
+    def __post_init__(self):
+        self.optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
+
+        def loss_fn(params, batch):
+            return batched_loss(self.model, params, batch, self.loss_kind,
+                                self.linf_weight)
+
+        def step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        donate = (0, 1) if self.donate else ()
+        self._step = jax.jit(step, donate_argnums=donate)
+        self._eval = jax.jit(loss_fn)
+
+        def predict(params, batch: GraphBatch):
+            return jax.vmap(
+                lambda g: self.model.apply(params, g.x, g.senders, g.receivers,
+                                           g.edge_attr, edge_mask=g.edge_mask)
+            )(batch)
+
+        self._predict = jax.jit(predict)
+
+    def init(self, key) -> tuple[dict, object]:
+        params = self.model.init(key)
+        return params, self.optimizer.init(params)
+
+    def step(self, params, opt_state, batch):
+        return self._step(params, opt_state, batch)
+
+    def evaluate(self, params, batch) -> float:
+        return float(self._eval(params, batch))
+
+    def predict(self, params, batch: GraphBatch) -> jnp.ndarray:
+        return self._predict(params, batch)
+
+    @staticmethod
+    def set_lr(opt_state, lr: float):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state
+
+
+class StepLR:
+    """torch.optim.lr_scheduler.StepLR equivalent (scheduler_gnn.py:392-394)."""
+
+    def __init__(self, lr: float, step_size: int, gamma: float):
+        self.lr0, self.step_size, self.gamma = lr, step_size, gamma
+
+    def __call__(self, epoch: int) -> float:
+        return self.lr0 * (self.gamma ** (epoch // self.step_size))
+
+
+class ReduceLROnPlateau:
+    """torch ReduceLROnPlateau(mode='min', factor=0.5, patience=5) equivalent
+    (scheduler_gnn.py:140)."""
+
+    def __init__(self, lr: float, factor: float = 0.5, patience: int = 5,
+                 min_lr: float = 0.0):
+        self.lr, self.factor, self.patience, self.min_lr = lr, factor, patience, min_lr
+        self.best = np.inf
+        self.bad_epochs = 0
+
+    def update(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def train_val_split(num_items: int, val_frac: float = 0.2, seed: int = 0):
+    """80/20 random split (random_split at scheduler_gnn.py:100-103, 125)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(num_items)
+    n_train = int((1 - val_frac) * num_items)
+    return perm[:n_train], perm[n_train:]
