@@ -88,4 +88,4 @@ def save_pth_state_dict(path: str, state_dict: dict[str, np.ndarray]) -> None:
     import torch
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}, path)
+    torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in state_dict.items()}, path)
