@@ -1,0 +1,185 @@
+"""Least-squares nodal gradients, divergence, and graph Laplacian — on device.
+
+Replaces the reference's numba kernels (/root/reference/dataset/GraphDataset.py:
+1509-1746) with batched JAX over fixed-K neighbor arrays:
+
+- ``compute_weights`` (:1509-1591): per-node pseudo-inverse of the normalized
+  neighbor-direction matrix, with the same conditioning fallbacks (cond>1e8 or
+  weight-norm>100 -> simple 1/k-scaled direction weights, single-neighbor unit
+  direction).  The SVD pinv is computed via the 3x3 normal-equation
+  eigendecomposition (identical pseudo-inverse, batchable on TPU).
+- ``compute_divergence`` (:1594-1608): note the reference sums ALL NINE
+  entries of W_i @ dV_i (not the trace); we reproduce exactly.
+- Laplacian (:1679-1746): row-normalized neighbor weights; we expose it as a
+  matvec closure (no sparse assembly — CG only needs L@p).
+- ``apply_pressure_correction`` (:1664-1676) with the relaxation factor the
+  projection loop passes (:1965-1969 — a kwarg the reference's jitted fn
+  doesn't even accept; intended behavior implemented).
+
+Neighborhoods come as fixed-size [N, K] index+mask arrays
+(``build_node_neighbors``), the static-shape analogue of the reference's CSR
+offsets (:1767-1796).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_node_neighbors(edges: np.ndarray, num_nodes: int,
+                         max_neighbors: int | None = None):
+    """[N, K] neighbor ids + mask from a directed edge list (host-side).
+
+    Neighbors of i = all j with an edge (i -> j); the reference builds the
+    same symmetric adjacency from cell cliques (GraphDataset.py:1767-1796).
+    """
+    order = np.argsort(edges[:, 0], kind="stable")
+    src, dst = edges[order, 0], edges[order, 1]
+    counts = np.bincount(src, minlength=num_nodes)
+    k = int(max_neighbors or counts.max())
+    nbr = np.zeros((num_nodes, k), np.int32)
+    mask = np.zeros((num_nodes, k), bool)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    col = np.arange(len(src)) - starts[src]
+    keep = col < k
+    nbr[src[keep], col[keep]] = dst[keep]
+    mask[src[keep], col[keep]] = True
+    return nbr, mask
+
+
+@partial(jax.jit, static_argnames=())
+def compute_weights(points: jnp.ndarray, nbr: jnp.ndarray, mask: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Per-node LSQ gradient weights [N, 3, K] (GraphDataset.py:1509-1591)."""
+    n, k = nbr.shape
+    v = points[nbr] - points[:, None, :]              # [N, K, 3]
+    norm = jnp.linalg.norm(v, axis=2, keepdims=True)
+    a = jnp.where((norm > 1e-10) & mask[..., None], v / jnp.maximum(norm, 1e-30), 0.0)
+    n_neighbors = jnp.sum(mask, axis=1)               # [N]
+
+    # pseudo-inverse via 3x3 normal equations: pinv(A) = V S^+ V^T A^T
+    g = jnp.einsum("nka,nkb->nab", a, a)              # [N, 3, 3]
+    s2, vec = jnp.linalg.eigh(g)                      # ascending eigenvalues
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))                # singular values of A
+    max_s = s[:, -1]
+    min_s = jnp.where(s[:, 0] > 0, s[:, 0],
+                      jnp.where(s[:, 1] > 0, s[:, 1], 1e-10))
+    cond = max_s / jnp.maximum(min_s, 1e-30)
+    thresh = (max_s * 1e-6)[:, None]
+    s_inv2 = jnp.where(s > thresh, 1.0 / jnp.maximum(s2, 1e-30), 0.0)  # 1/s^2
+    ginv = jnp.einsum("nab,nb,ncb->nac", vec, s_inv2, vec)
+    pinv = jnp.einsum("nac,nkc->nak", ginv, a)        # [N, 3, K]
+
+    w_norm = jnp.sum(pinv**2 * mask[:, None, :], axis=(1, 2))
+    simple = (a / jnp.maximum(n_neighbors, 1)[:, None, None]).transpose(0, 2, 1)
+    use_simple = ((cond >= 1e8) | (w_norm > 100.0) | (n_neighbors < 3))[:, None, None]
+    weights = jnp.where(use_simple, simple, pinv)
+
+    # single neighbor: unit direction (GraphDataset.py:1524-1531)
+    single = (n_neighbors == 1)[:, None, None]
+    weights = jnp.where(single, a.transpose(0, 2, 1), weights)
+    return weights * mask[:, None, :]
+
+
+@jax.jit
+def compute_gradient_weights(points: jnp.ndarray, nbr: jnp.ndarray,
+                             mask: jnp.ndarray) -> jnp.ndarray:
+    """TRUE-gradient LSQ weights [N, 3, K]: pinv of raw displacements.
+
+    Unlike ``compute_weights`` (which follows the reference's numba kernel in
+    normalizing direction rows but NOT dividing the field differences by
+    distance — a length-scaled operator, GraphDataset.py:1533-1540 vs
+    :1600-1607), this pseudo-inverts the raw displacement matrix so that for a
+    linear field u(x), W_i @ (u_nbr - u_i) == grad u exactly.  This is the
+    operator vtkGradientFilter provides the reference's WSS pass
+    (compute_wss.py:36-42).
+    """
+    d = (points[nbr] - points[:, None, :]) * mask[..., None]   # [N, K, 3]
+    g = jnp.einsum("nka,nkb->nab", d, d)                       # [N, 3, 3]
+    s2, vec = jnp.linalg.eigh(g)
+    thresh = (jnp.maximum(s2[:, -1], 1e-30) * 1e-10)[:, None]
+    s_inv2 = jnp.where(s2 > thresh, 1.0 / jnp.maximum(s2, 1e-30), 0.0)
+    ginv = jnp.einsum("nab,nb,ncb->nac", vec, s_inv2, vec)
+    return jnp.einsum("nac,nkc->nak", ginv, d) * mask[:, None, :]
+
+
+@jax.jit
+def compute_divergence(velocity: jnp.ndarray, nbr: jnp.ndarray, mask: jnp.ndarray,
+                       weights: jnp.ndarray) -> jnp.ndarray:
+    """Sum of all entries of W_i @ (v_nbr - v_i) (GraphDataset.py:1594-1608)."""
+    dv = (velocity[nbr] - velocity[:, None, :]) * mask[..., None]  # [N, K, 3]
+    return jnp.einsum("ndk,nkc->n", weights, dv)
+
+
+@jax.jit
+def compute_divergence_trace(velocity: jnp.ndarray, nbr: jnp.ndarray,
+                             mask: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """TRUE divergence: trace of the LSQ Jacobian, div_i = sum_d du_d/dx_d.
+
+    The reference's compute_divergence sums all NINE entries of W @ dV
+    (GraphDataset.py:1607), which collapses the field to v_x+v_y+v_z and makes
+    the projection system indefinite — the root cause of its tiny relaxation
+    factors and rollbacks.  This is the intended operator (SURVEY §7: build
+    the intended behavior; drift documented on compute_divergence).
+    """
+    dv = (velocity[nbr] - velocity[:, None, :]) * mask[..., None]  # [N, K, 3]
+    return jnp.einsum("ndk,nkd->n", weights, dv)
+
+
+def laplacian_weights(weights: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Row-normalized per-neighbor scalar weights (GraphDataset.py:1700-1743)."""
+    w = jnp.linalg.norm(weights, axis=1) * mask  # [N, K]
+    total = jnp.sum(w, axis=1, keepdims=True)
+    return jnp.where(total > 1e-10, w / jnp.maximum(total, 1e-30), 0.0)
+
+
+def make_laplacian_matvec(nbr: jnp.ndarray, mask: jnp.ndarray, lw: jnp.ndarray):
+    """L p with L[i,i]=sum_k w[i,k], L[i,j_k]=-w[i,k] (isolated rows -> identity)."""
+    diag = jnp.sum(lw, axis=1)
+    isolated = diag <= 1e-10
+
+    def matvec(p):
+        off = jnp.sum(lw * p[nbr], axis=1)
+        return jnp.where(isolated, p, diag * p - off)
+
+    return matvec, jnp.where(isolated, 1.0, diag)
+
+
+def make_consistent_matvec(nbr: jnp.ndarray, mask: jnp.ndarray,
+                           weights: jnp.ndarray):
+    """The exact composite operator p -> div(grad_correction(p)).
+
+    The reference solves an *inconsistent* system: its Laplacian
+    (row-normalized scalar weights, GraphDataset.py:1679-1746) is not the
+    divergence of its pressure-gradient correction (:1664-1676), which is why
+    its projection needs tiny relaxation factors and frequent rollbacks
+    (:1994-2013).  Composing the actual discrete operators makes the Newton
+    step exact: after solving  (D o G) p = div(v),  v - G p has (discretely)
+    zero divergence up to Krylov tolerance.  Nonsymmetric -> BiCGStab.
+    """
+
+    def grad_field(p):
+        dp = (p[nbr] - p[:, None]) * mask
+        return jnp.einsum("ndk,nk->nd", weights, dp)
+
+    def matvec(p):
+        g = grad_field(p)
+        dg = (g[nbr] - g[:, None, :]) * mask[..., None]
+        return jnp.einsum("ndk,nkd->n", weights, dg)
+
+    return matvec, grad_field
+
+
+@jax.jit
+def apply_pressure_correction(velocity: jnp.ndarray, pressure: jnp.ndarray,
+                              nbr: jnp.ndarray, mask: jnp.ndarray,
+                              weights: jnp.ndarray,
+                              alpha: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+    """v_i -= alpha * W_i @ (p_nbr - p_i) (GraphDataset.py:1664-1676 + :1965)."""
+    dp = (pressure[nbr] - pressure[:, None]) * mask  # [N, K]
+    grad_p = jnp.einsum("ndk,nk->nd", weights, dp)
+    return velocity - alpha * grad_p
