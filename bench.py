@@ -1,0 +1,129 @@
+"""Benchmark: upsampled-mesh subdomain-inference throughput (nodes/sec/chip).
+
+The BASELINE.md north star: field-MSE parity on the duct workload plus >10x
+subdomain-inference throughput vs the PyTorch baseline, measured over the same
+span the reference prints as "Prediction time" (run_ALDS_3D.py:19-23).
+
+This script times the flagship KernelNN (width=48, depth=5 — neuralop config)
+over a batch of padded synthetic-duct subdomains on the available accelerator,
+and the independent torch-CPU oracle (tests/torch_oracle.py — the same math
+the reference executes) on the identical subdomains as the baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals() else os.getcwd()
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+N_GRAPHS = 8
+WIDTH = 48
+DEPTH = 5
+REPEATS = 5
+SMALL = os.environ.get("FESR_BENCH_SCALE") == "small"
+
+
+def build_workload():
+    from fast_eng_super_resolution_tpu.core.graph import pad_and_bucket
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import make_sample_pair
+
+    dims = ((16, 8, 8), (8, 4, 4)) if SMALL else ((48, 24, 24), (20, 10, 10))
+    s = make_sample_pair(n_high=dims[0], n_low=dims[1])
+    subs = extract_subdomains(s["pos"], s["mesh"].cells, s["x"], s["y"],
+                              N_GRAPHS, "all_intersecting")
+    raw = [dict(x=g.x, y=g.y, pos=g.pos, senders=g.senders, receivers=g.receivers,
+                edge_attr=g.edge_attr, global_ids=g.global_node_ids) for g in subs]
+    (_, _, batch), = pad_and_bucket(raw)
+    real_nodes = int(sum(g["x"].shape[0] for g in raw))
+    return raw, batch, real_nodes
+
+
+def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
+                     in_width=4, out_width=4)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def forward(params, x):
+        return jax.vmap(
+            lambda xg, g: model.apply(params, xg, g.senders, g.receivers,
+                                      g.edge_attr, edge_mask=g.edge_mask),
+            in_axes=(0, 0))(x, batch)
+
+    @jax.jit
+    def chained(params, x0):
+        # each iteration consumes the previous output -> nothing is cacheable,
+        # and device-side scan amortizes host dispatch out of the measurement
+        def body(x, _):
+            out = forward(params, x)
+            return out * 1e-3 + x0, None
+
+        x, _ = jax.lax.scan(body, x0, None, length=iters)
+        return x
+
+    chained(params, batch.x).block_until_ready()  # compile + warm
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        chained(params, batch.x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / iters
+    return real_nodes / dt, params, model
+
+
+def bench_torch_baseline(raw, params, model) -> float:
+    """The reference's math via the independent torch oracle on CPU."""
+    import jax
+    import torch
+
+    import torch_oracle
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    sd = model.export_pth(jax.device_get(params))
+    # time ONE representative subdomain (warm) and scale — the baseline is
+    # far too slow to run the full batch repeatedly
+    g = max(raw, key=lambda d: d["x"].shape[0])
+    torch_oracle.kernelnn_forward(sd, g["x"], np.stack([g["senders"], g["receivers"]]),
+                                  g["edge_attr"], depth=DEPTH, dtype=torch.float32)
+    t0 = time.perf_counter()
+    torch_oracle.kernelnn_forward(sd, g["x"],
+                                  np.stack([g["senders"], g["receivers"]]),
+                                  g["edge_attr"], depth=DEPTH, dtype=torch.float32)
+    dt = time.perf_counter() - t0
+    return g["x"].shape[0] / dt
+
+
+def main():
+    raw, batch, real_nodes = build_workload()
+    jax_tput, params, model = bench_jax(batch, real_nodes)
+    try:
+        base_tput = bench_torch_baseline(raw, params, model)
+        vs = jax_tput / base_tput
+    except Exception:
+        vs = 0.0
+    print(json.dumps({
+        "metric": "subdomain_inference_throughput",
+        "value": round(jax_tput, 1),
+        "unit": "nodes/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    import jax  # noqa: E402  (platform chosen by environment: TPU under axon)
+
+    main()

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native host tensorizer (runtime/libtensorizer.so).
+
+Auto-builds on first use if a compiler is available; every entry point has a
+pure-Python/numpy fallback (data/tensorize.py, data/partition.py), so the
+framework runs anywhere — the native path is a throughput optimization for
+>1M-node mesh ETL (SURVEY §7 P3).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libtensorizer.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.cells_to_edges.restype = ctypes.c_int64
+    lib.cells_to_edges.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+    lib.rcb_assign.restype = None
+    lib.rcb_assign.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
+    lib.box_intersect_assign.restype = None
+    lib.box_intersect_assign.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def cells_to_edges_native(cells: np.ndarray) -> np.ndarray | None:
+    """Native clique edge extraction for uniform [C, k] cells; None if no lib."""
+    lib = _load()
+    if lib is None or cells.ndim != 2:
+        return None
+    cells64 = np.ascontiguousarray(cells, np.int64)
+    c, k = cells64.shape
+    cap = c * k * (k - 1)
+    out = np.empty((cap, 2), np.int32)
+    n = lib.cells_to_edges(
+        cells64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), c, k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    if n < 0:
+        return None
+    return out[:n].copy()
+
+
+def rcb_assign_native(points: np.ndarray, num_parts: int):
+    """Native RCB: returns (assignment [N] int32, boxes [P, 2, 3]); None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float64)
+    n = len(pts)
+    assign = np.empty(n, np.int32)
+    boxes = np.empty((num_parts, 6), np.float64)
+    lib.rcb_assign(pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+                   num_parts, assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                   boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return assign, [(boxes[p, :3].copy(), boxes[p, 3:].copy())
+                    for p in range(num_parts)]
+
+
+def box_intersect_native(cell_lo: np.ndarray, cell_hi: np.ndarray,
+                         boxes: list) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(cell_lo, np.float64)
+    hi = np.ascontiguousarray(cell_hi, np.float64)
+    p = len(boxes)
+    flat = np.ascontiguousarray(
+        np.concatenate([np.concatenate([b[0], b[1]]) for b in boxes]), np.float64)
+    out = np.empty((len(lo), p), np.uint8)
+    lib.box_intersect_assign(
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(lo),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.astype(bool)

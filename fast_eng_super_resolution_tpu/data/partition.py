@@ -89,8 +89,14 @@ def rcb_regions(centroids: np.ndarray, num_parts: int,
 def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
                  mode: str = "one_region"):
     """Returns per-partition cell-index lists under the requested boundary mode."""
+    from .native import rcb_assign_native
+
     centroids = points[cells].mean(axis=1)
-    assignment, boxes = rcb_regions(centroids, num_parts)
+    native = rcb_assign_native(centroids, num_parts)
+    if native is not None:
+        assignment, boxes = native
+    else:
+        assignment, boxes = rcb_regions(centroids, num_parts)
     if mode == "one_region":
         return [np.where(assignment == p)[0] for p in range(num_parts)], boxes
 

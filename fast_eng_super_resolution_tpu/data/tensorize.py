@@ -42,6 +42,11 @@ def cells_to_edges(cells: np.ndarray, num_nodes: int | None = None) -> np.ndarra
       edges: [E, 2] int32 (sender, receiver), deduplicated, no self-loops.
     """
     if isinstance(cells, np.ndarray) and cells.ndim == 2:
+        from .native import cells_to_edges_native
+
+        native = cells_to_edges_native(cells)
+        if native is not None:
+            return native
         k = cells.shape[1]
         iu, ju = np.triu_indices(k, 1)
         a = cells[:, iu].reshape(-1)

@@ -1,0 +1,104 @@
+"""Shared train/predict drivers behind the run_DS_3D / run_ALDS_3D CLIs.
+
+Mirrors the entry scripts' flow (/root/reference/run_ALDS_3D.py:10-41): build
+scheduler, train or predict per sample index, reconstruct with overlap
+averaging, write ``logs/vtk/{exp}/pred_{idx}.vtu``, print the two timing spans
+the reference prints (:19-29).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .data.reconstruct import overlap_average
+from .data.tensorize import VTK_TETRA
+from .data.vtu import write_vtu
+from .sched.scheduler import PartitionScheduler
+from .utils.logging import span
+
+
+def train_graph_ALDD(exp_name: str, model, dataset, num_partitions: int,
+                     train_config: dict, start_from_pretrained: bool = False,
+                     log_dir: str = "logs", **kwargs):
+    scheduler = PartitionScheduler(exp_name, num_partitions, dataset, model,
+                                   train=True, log_dir=log_dir, **kwargs)
+    scheduler.train(train_config, start_from_pretrained=start_from_pretrained)
+    return scheduler
+
+
+def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
+                    save_mode: str = "save_png", log_dir: str = "logs",
+                    smooth: bool = False, **kwargs):
+    scheduler = PartitionScheduler(exp_name, num_partitions, dataset, model,
+                                   train=False, log_dir=log_dir, **kwargs)
+    outputs = []
+    for idx in idxs:
+        x = dataset.get_one_full_sample(idx)
+
+        with span("Prediction"):
+            pred_y_list, ref_y_list, model_idx, weights_list = scheduler.predict(x)
+
+        with span("Reconstruction"):
+            full = dataset.full_mesh(idx)
+            num_nodes = len(full["points"])
+            gids = [d["global_node_ids"] for d in x]
+            pred = overlap_average(pred_y_list, gids, num_nodes)
+            ref = overlap_average([np.asarray(r) for r in ref_y_list], gids, num_nodes)
+
+        if smooth:
+            from .data.tensorize import cells_to_edges
+            from .physics.projection import smooth_with_continuity
+
+            edges = cells_to_edges(full["cells"])
+            v, p = smooth_with_continuity(full["points"], edges, pred[:, :3],
+                                          pred[:, 3])
+            pred = np.concatenate([np.asarray(v), np.asarray(p).reshape(-1, 1)], 1)
+
+        out_dir = os.path.join(log_dir, "vtk", exp_name)
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, f"pred_{idx}.vtu")
+        cells = full["cells"]
+        write_vtu(out_path, full["points"], cells,
+                  np.full(len(cells), VTK_TETRA, np.uint8),
+                  point_data={
+                      "velocity": pred[:, :3], "pressure": pred[:, 3],
+                      "ref_velocity": ref[:, :3], "ref_pressure": ref[:, 3],
+                      "interpolated_velocity": full["x"][:, :3],
+                      "interpolated_pressure": full["x"][:, 3],
+                  })
+        print("Prediction done!")
+        outputs.append(out_path)
+    return outputs
+
+
+def main(args, default_sub_size_kw: bool = False):
+    """Shared __main__ body for both entry scripts (run_ALDS_3D.py:44-73)."""
+    from .data.dataset import init_dataset
+    from .models.registry import init_model
+    from .sched.classifiers import init_classifier
+    from .sched.encoders import init_encoder
+    from .utils.config import load_yaml
+
+    exp_config = load_yaml(args.exp_config)
+    train_config = load_yaml(args.train_config)
+    n_clusters = exp_config["n_clusters"]
+
+    model = init_model(args.model, **exp_config)
+    dataset = init_dataset(args.dataset, **exp_config)
+    kwargs = {}
+    if n_clusters != 1:
+        kwargs["encoder"] = init_encoder(args.encoder, **exp_config)
+        kwargs["classifier"] = init_classifier(args.classifier, **exp_config)
+    print("Dataset loaded!")
+
+    if args.mode == "train":
+        train_graph_ALDD(args.exp_name, model, dataset, n_clusters, train_config,
+                         **kwargs)
+    elif args.mode in ("pred", "predict"):  # README says 'predict', code 'pred'
+        pred_graph_ALDD(exp_config["idxs"], args.exp_name, model, dataset,
+                        n_clusters, exp_config.get("save_mode", "save_png"),
+                        smooth=exp_config.get("smooth", False), **kwargs)
+    else:
+        raise ValueError(f"Unknown mode: {args.mode}")

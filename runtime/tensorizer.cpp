@@ -1,0 +1,193 @@
+// Native host tensorizer for fast_eng_super_resolution_tpu.
+//
+// The reference leans on VTK's C++ filters for its heavy host-side ETL
+// (vtkFLUENTReader, vtkRedistributeDataSetFilter, point locators — SURVEY
+// §2.3); this library provides the framework's own native equivalents for the
+// paths that dominate >1M-node mesh ingestion:
+//
+//   - cells_to_edges: cell-clique -> deduplicated directed edge list
+//     (replaces the O(cells*k^2) Python set loop, GraphDataset.py:853-865).
+//   - rcb_assign: recursive coordinate bisection over cell centroids
+//     (replaces vtkRedistributeDataSetFilter's kd-tree cuts).
+//   - box_intersect_assign: overlap-mode cell->region assignment
+//     (AssignToAllIntersectingRegions, GraphDataset.py:1219).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image). Threaded with
+// std::thread; no external dependencies.
+//
+// Build: make -C runtime   (produces libtensorizer.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hardware_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 8;
+}
+
+template <typename F>
+void parallel_for(int64_t n, F&& fn) {
+  int nt = std::min<int64_t>(hardware_threads(), std::max<int64_t>(n, 1));
+  if (nt <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, n);
+    if (lo >= hi) break;
+    threads.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Cell-clique edge extraction.
+// cells: [num_cells * k] int64 node ids (uniform cell size k).
+// out_edges: caller-allocated [2 * max_edges] int32; returns edge count, or
+// -1 if max_edges is too small (call again with a bigger buffer).
+int64_t cells_to_edges(const int64_t* cells, int64_t num_cells, int64_t k,
+                       int32_t* out_edges, int64_t max_edges) {
+  const int64_t pairs_per_cell = k * (k - 1);  // ordered pairs
+  const int64_t total = num_cells * pairs_per_cell;
+  std::vector<uint64_t> keys(total);
+
+  parallel_for(num_cells, [&](int64_t lo, int64_t hi) {
+    for (int64_t c = lo; c < hi; ++c) {
+      const int64_t* cell = cells + c * k;
+      uint64_t* out = keys.data() + c * pairs_per_cell;
+      int64_t idx = 0;
+      for (int64_t i = 0; i < k; ++i) {
+        for (int64_t j = 0; j < k; ++j) {
+          if (i == j) continue;
+          uint64_t a = static_cast<uint64_t>(cell[i]);
+          uint64_t b = static_cast<uint64_t>(cell[j]);
+          out[idx++] = (a << 32) | b;  // assumes node ids < 2^32
+        }
+      }
+    }
+  });
+
+  std::sort(keys.begin(), keys.end());
+  int64_t count = 0;
+  uint64_t prev = ~0ull;
+  for (uint64_t key : keys) {
+    uint32_t a = static_cast<uint32_t>(key >> 32);
+    uint32_t b = static_cast<uint32_t>(key & 0xffffffffu);
+    if (key == prev || a == b) continue;
+    prev = key;
+    if (count >= max_edges) return -1;
+    out_edges[2 * count] = static_cast<int32_t>(a);
+    out_edges[2 * count + 1] = static_cast<int32_t>(b);
+    ++count;
+  }
+  return count;
+}
+
+// Recursive coordinate bisection over points (e.g. cell centroids).
+// points: [n * 3] float64.  out_assign: [n] int32 region labels.
+// out_boxes: [num_parts * 6] float64 (min xyz, max xyz per region).
+static void rcb_split(const double* pts, std::vector<int64_t>& idx,
+                      int64_t lo, int64_t hi, int parts, int* next_label,
+                      int32_t* assign, double* boxes, const double* box_lo,
+                      const double* box_hi) {
+  if (parts == 1) {
+    int label = (*next_label)++;
+    for (int64_t i = lo; i < hi; ++i) assign[idx[i]] = label;
+    for (int d = 0; d < 3; ++d) {
+      boxes[label * 6 + d] = box_lo[d];
+      boxes[label * 6 + 3 + d] = box_hi[d];
+    }
+    return;
+  }
+  int n_left = parts / 2;
+  int64_t count = hi - lo;
+  int64_t k = static_cast<int64_t>(
+      static_cast<double>(n_left) / parts * count + 0.5);
+  k = std::max<int64_t>(1, std::min<int64_t>(k, count - 1));
+
+  // longest axis of the population
+  double mins[3] = {1e300, 1e300, 1e300}, maxs[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = lo; i < hi; ++i) {
+    const double* p = pts + idx[i] * 3;
+    for (int d = 0; d < 3; ++d) {
+      mins[d] = std::min(mins[d], p[d]);
+      maxs[d] = std::max(maxs[d], p[d]);
+    }
+  }
+  int axis = 0;
+  double span = -1;
+  for (int d = 0; d < 3; ++d) {
+    if (maxs[d] - mins[d] > span) {
+      span = maxs[d] - mins[d];
+      axis = d;
+    }
+  }
+  std::nth_element(idx.begin() + lo, idx.begin() + lo + k, idx.begin() + hi,
+                   [&](int64_t a, int64_t b) {
+                     return pts[a * 3 + axis] < pts[b * 3 + axis];
+                   });
+  double cut = pts[idx[lo + k] * 3 + axis];
+  double lo_l[3], hi_l[3], lo_r[3], hi_r[3];
+  std::memcpy(lo_l, box_lo, sizeof(lo_l));
+  std::memcpy(hi_l, box_hi, sizeof(hi_l));
+  std::memcpy(lo_r, box_lo, sizeof(lo_r));
+  std::memcpy(hi_r, box_hi, sizeof(hi_r));
+  hi_l[axis] = cut;
+  lo_r[axis] = cut;
+  rcb_split(pts, idx, lo, lo + k, n_left, next_label, assign, boxes, lo_l, hi_l);
+  rcb_split(pts, idx, lo + k, hi, parts - n_left, next_label, assign, boxes,
+            lo_r, hi_r);
+}
+
+void rcb_assign(const double* points, int64_t n, int num_parts,
+                int32_t* out_assign, double* out_boxes) {
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+  double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = 0; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], points[i * 3 + d]);
+      hi[d] = std::max(hi[d], points[i * 3 + d]);
+    }
+  }
+  int next_label = 0;
+  rcb_split(points, idx, 0, n, num_parts, &next_label, out_assign, out_boxes,
+            lo, hi);
+}
+
+// Overlap-mode assignment: cell -> every region whose box intersects the
+// cell's AABB.  cell_lo/cell_hi: [n * 3]; boxes: [num_parts * 6].
+// out: [n * num_parts] uint8 membership matrix.
+void box_intersect_assign(const double* cell_lo, const double* cell_hi,
+                          int64_t n, const double* boxes, int num_parts,
+                          uint8_t* out) {
+  parallel_for(n, [&](int64_t lo_i, int64_t hi_i) {
+    for (int64_t i = lo_i; i < hi_i; ++i) {
+      for (int p = 0; p < num_parts; ++p) {
+        const double* blo = boxes + p * 6;
+        const double* bhi = boxes + p * 6 + 3;
+        bool hit = true;
+        for (int d = 0; d < 3; ++d) {
+          if (cell_hi[i * 3 + d] < blo[d] || cell_lo[i * 3 + d] > bhi[d]) {
+            hit = false;
+            break;
+          }
+        }
+        out[i * num_parts + p] = hit ? 1 : 0;
+      }
+    }
+  });
+}
+
+}  // extern "C"

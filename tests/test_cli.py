@@ -1,0 +1,127 @@
+"""CLI smoke tests: train -> predict -> WSS through the real entry points."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def _run(args, cwd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               JAX_PLATFORM_NAME="cpu")
+    # force cpu inside the subprocess (axon env var is sticky — sitecustomize)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.argv={args!r};"
+        f"exec(open({os.path.join(REPO, args[0])!r}).read())"
+    )
+    return subprocess.run([sys.executable, "-c", code], cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+@pytest.fixture(scope="module")
+def exp_config(workdir):
+    path = os.path.join(workdir, "exp.yaml")
+    with open(path, "w") as f:
+        f.write(f"""
+n_clusters: 1
+save_mode: 'save_png'
+n_components: 2
+domain_size: 0.03
+in_channels: 4
+out_channels: 4
+width: 12
+num_powers: 3
+retrieve_weight: False
+num_layers: 3
+root: '{workdir}/data'
+partition: True
+sub_size: 4
+idxs: [0]
+""")
+    train = os.path.join(workdir, "train.yaml")
+    with open(train, "w") as f:
+        f.write("""
+epochs: 3
+batch_size: 8
+lr: 0.002
+step_size: 30
+gamma: 0.1
+log_interval: 5
+val_interval: 1
+""")
+    return path, train
+
+
+def test_cli_train_then_predict(workdir, exp_config):
+    exp, train = exp_config
+    r = _run(["run_DS_3D.py", "--mode=train", "--model=neuralop",
+              "--dataset=synthetic", "--exp_name=cli_test",
+              f"--exp_config={exp}", f"--train_config={train}"], cwd=workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Train loss" in r.stdout
+    assert os.path.exists(os.path.join(
+        workdir, "logs", "models", "collection_cli_test", "partition_0.npz"))
+
+    r = _run(["run_ALDS_3D.py", "--mode=pred", "--model=neuralop",
+              "--dataset=synthetic", "--exp_name=cli_test",
+              f"--exp_config={exp}", f"--train_config={train}"], cwd=workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Prediction time:" in r.stdout and "Reconstruction time:" in r.stdout
+    vtu = os.path.join(workdir, "logs", "vtk", "cli_test", "pred_0.vtu")
+    assert os.path.exists(vtu)
+
+    from fast_eng_super_resolution_tpu.data.vtu import read_vtu
+
+    grid = read_vtu(vtu)
+    for name in ("velocity", "pressure", "ref_velocity", "ref_pressure",
+                 "interpolated_velocity", "interpolated_pressure"):
+        assert name in grid["point_data"], name
+        assert np.isfinite(grid["point_data"][name]).all(), name
+
+
+def test_cli_wss_post_pass(workdir, exp_config):
+    vtu = os.path.join(workdir, "logs", "vtk", "cli_test", "pred_0.vtu")
+    if not os.path.exists(vtu):
+        pytest.skip("predict step did not run")
+    r = _run(["compute_wss.py", "--input", vtu], cwd=workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "completed successfully" in r.stdout
+    assert os.path.exists(os.path.join(workdir, "wall_shear_stress_results_pred.vtp"))
+
+
+def test_graft_entry_contract():
+    """entry() compiles single-chip; dryrun_multichip(8) runs on virtual mesh."""
+    import jax
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    ge.dryrun_multichip(8)
+
+
+def test_bench_json_contract(workdir):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               FESR_BENCH_SCALE="small")
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            f"exec(open({os.path.join(REPO, 'bench.py')!r}).read())")
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0

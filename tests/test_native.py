@@ -1,0 +1,74 @@
+"""Native tensorizer parity + speed sanity vs the numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    from fast_eng_super_resolution_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native tensorizer unavailable (no compiler?)")
+    return native
+
+
+def test_native_edges_match_numpy(lib_available, rng):
+    from fast_eng_super_resolution_tpu.data.native import cells_to_edges_native
+
+    cells = rng.integers(0, 500, size=(300, 4)).astype(np.int64)
+    native = cells_to_edges_native(cells)
+
+    # numpy reference (the fallback path's math, inlined to avoid dispatch)
+    iu, ju = np.triu_indices(4, 1)
+    a = cells[:, iu].reshape(-1)
+    b = cells[:, ju].reshape(-1)
+    both = np.concatenate([np.stack([a, b], 1), np.stack([b, a], 1)])
+    both = both[both[:, 0] != both[:, 1]]
+    expected = np.unique(both, axis=0).astype(np.int32)
+
+    np.testing.assert_array_equal(native, expected)
+
+
+def test_native_rcb_balances_and_covers(lib_available, rng):
+    from fast_eng_super_resolution_tpu.data.native import rcb_assign_native
+
+    pts = rng.normal(size=(5000, 3))
+    assign, boxes = rcb_assign_native(pts, 8)
+    assert len(boxes) == 8
+    counts = np.bincount(assign, minlength=8)
+    assert counts.min() > 0
+    assert counts.max() <= 1.3 * counts.min()
+    # every point inside (or on the border of) its region's box
+    for p in range(8):
+        lo, hi = boxes[p]
+        sel = pts[assign == p]
+        assert np.all(sel >= lo - 1e-9) and np.all(sel <= hi + 1e-9)
+
+
+def test_native_box_intersect(lib_available, rng):
+    from fast_eng_super_resolution_tpu.data.native import (box_intersect_native,
+                                                           rcb_assign_native)
+
+    pts = rng.normal(size=(2000, 3))
+    assign, boxes = rcb_assign_native(pts, 4)
+    lo = pts - 0.05
+    hi = pts + 0.05
+    member = box_intersect_native(lo, hi, boxes)
+    assert member.shape == (2000, 4)
+    # own region always intersected
+    assert member[np.arange(2000), assign].all()
+
+
+def test_full_pipeline_uses_native_transparently(lib_available):
+    """extract_subdomains must still satisfy the cover/partition invariants
+    when the native RCB + edge extraction kick in."""
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(10, 5, 5)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    subs = extract_subdomains(mesh.points, mesh.cells, y, y, 4, "all_intersecting")
+    covered = np.unique(np.concatenate([s.global_node_ids for s in subs]))
+    assert len(covered) == len(mesh.points)
