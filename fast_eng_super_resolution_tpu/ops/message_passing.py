@@ -96,6 +96,10 @@ def edge_conditioned_conv(
     if mode == "edge":
         w_e = (hidden @ w3 + b3).reshape(-1, c_in, c_out)
         msg = jnp.einsum("ei,eio->eo", x[senders], w_e)
+    elif mode == "pallas":
+        from .pallas_mp import fused_edge_messages
+
+        msg = fused_edge_messages(hidden, x[senders], w3, b3)
     else:
         m3 = w3.reshape(k, c_in, c_out)
         b3m = b3.reshape(c_in, c_out)

@@ -1,0 +1,98 @@
+"""Fused Pallas kernel for edge-conditioned message computation.
+
+The hot op (SURVEY §3.3): per-edge  W_e = h_e @ W3 + b3  (K x w^2 GEMM) then
+m_e = x_src(e) @ W_e.reshape(w, w).  The XLA path materializes the per-edge
+matrices ([E, w^2] — w=48 -> 9 KB/edge) to HBM; on a v5e that HBM round trip,
+not FLOPs, bounds throughput (measured: ~94k nodes/s/chip on the unfused
+path).  This kernel tiles edges into VMEM-resident blocks, computes the
+block's W on the MXU, contracts with the pre-gathered sender features, and
+writes only the [E, w] messages — the w^2 intermediate never leaves VMEM.
+
+Scatter (segment-sum by receiver) stays in XLA: messages are only [E, w]
+(~192 B/edge), which is cheap traffic, and XLA's sorted-segment-sum is fine.
+
+Block sizes are aligned to the MXU/VPU tiling (multiples of 8x128 for f32);
+inputs are padded by the wrapper.  Exact same math as
+ops/message_passing.edge_conditioned_conv (parity-tested in
+tests/test_pallas.py); used automatically when running on TPU via
+mode='pallas' in the conv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_e",))
+def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
+                        b3: jnp.ndarray, block_e: int = 256) -> jnp.ndarray:
+    """Messages m_e = x_src[e] @ (h[e] @ W3 + b3).reshape(C_in, C_out).
+
+    Args:
+      h: [E, K] edge-MLP hidden features (post-activation).
+      x_src: [E, C_in] gathered sender features.
+      w3: [K, C_in * C_out] final edge-MLP layer weight.
+      b3: [C_in * C_out] final edge-MLP bias.
+      block_e: edges per kernel invocation (VMEM budget:
+        block_e * C_in * C_out * 4B for the W tile).
+
+    Returns: [E, C_out].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e, k = h.shape
+    c_in = x_src.shape[1]
+    c2 = w3.shape[1]
+    c_out = c2 // c_in
+
+    e_pad = _round_up(max(e, 8), block_e)
+    if e_pad != e:
+        h = jnp.pad(h, ((0, e_pad - e), (0, 0)))
+        x_src = jnp.pad(x_src, ((0, e_pad - e), (0, 0)))
+
+    def kernel(h_ref, x_ref, w3_ref, b3_ref, out_ref):
+        # [blk, K] @ [K, c2] on the MXU; stays in VMEM.
+        w_e = jnp.dot(h_ref[:], w3_ref[:], preferred_element_type=jnp.float32)
+        w_e = w_e + b3_ref[:]
+        w_e = w_e.reshape(block_e, c_in, c_out)
+        # m[b, o] = sum_a x[b, a] * W[b, a, o]  — batched contraction (VPU).
+        out_ref[:] = jnp.einsum("ba,bao->bo", x_ref[:], w_e,
+                                preferred_element_type=jnp.float32)
+
+    grid = (e_pad // block_e,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_e, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_e, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e_pad, c_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * k * c2 + 2 * e_pad * c_in * c_out,
+            bytes_accessed=4 * (e_pad * (k + c_in + c_out) + k * c2),
+            transcendentals=0,
+        ),
+    )(h, x_src, w3, b3)
+    return out[:e]
+
+
+def pallas_available() -> bool:
+    """True when the default backend can run Mosaic TPU kernels."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
