@@ -75,6 +75,37 @@ def load_params(path: str) -> Any:
     return unflatten_params(flat)
 
 
+def save_tree(path: str, tree: Any, extra: dict | None = None) -> None:
+    """Saves an arbitrary pytree (e.g. optax state) by leaf index, atomically.
+
+    The reference has no optimizer-state checkpointing or step-resume
+    (SURVEY §5 Checkpoint/resume); this plus ``load_tree_like`` provides it.
+    """
+    leaves = jax.tree_util.tree_leaves(jax.device_get(tree))
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    for k, v in (extra or {}).items():
+        payload[f"extra_{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_tree_like(path: str, template: Any) -> tuple[Any, dict]:
+    """Restores a pytree saved by save_tree using ``template``'s structure."""
+    treedef = jax.tree_util.tree_structure(template)
+    with np.load(path) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+        extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
+    return jax.tree_util.tree_unflatten(treedef, leaves), extra
+
+
 def load_pth_state_dict(path: str) -> dict[str, np.ndarray]:
     """Loads a torch ``.pth`` state_dict into numpy arrays (CPU, no grad)."""
     import torch

@@ -1,0 +1,57 @@
+"""Index-subset dataset views.
+
+Parity targets: SubGraphDataset (/root/reference/dataset/GraphDataset.py:
+1487-1494) and Sub_JHTDB (/root/reference/dataset/MatDataset.py:21-39) — both
+are "take these indices of an already-processed dataset" wrappers, which is
+also what the scheduler's per-cluster subsets need (torch Subset,
+scheduler_gnn.py:81).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class Subset:
+    """View over any indexable dataset (the torch.utils.data.Subset role)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, np.int64)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+    def get(self, i):
+        return self.dataset.get(int(self.indices[i]))
+
+
+class SubGraphDataset(Subset):
+    """SubGraphDataset equivalent: subset of a processed graph dataset by
+    indices (GraphDataset.py:1487-1494)."""
+
+
+class SubJHTDB:
+    """Sub_JHTDB equivalent (MatDataset.py:21-39): subset of a processed
+    array-record file.  Verifies the processed file exists, like the
+    reference's 'JHTDB data is not processed yet' guard (:28-29)."""
+
+    def __init__(self, root: str, indices):
+        self.root = root
+        path = os.path.join(root, "processed", "data.npz")
+        if not os.path.exists(path):
+            raise ValueError("JHTDB data is not processed yet")
+        with np.load(path, allow_pickle=True) as z:
+            data = [z[k] for k in sorted(z.files)]
+        self.data = [data[i] for i in indices]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return self.data[idx]

@@ -44,3 +44,26 @@ class DeepONet:
         branch_out = mlp_apply(params["branch"], branch_input, jax.nn.relu)
         trunk_out = mlp_apply(params["trunk"], grid, jax.nn.relu)
         return branch_out * trunk_out
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptDeepONet:
+    """adaptDeepONet wrapper (model.py:185-210): DeepONet on grid patches with
+    the output reshaped back to [B, n, n, 1] (squeeze/transpose dance kept to
+    its effective shape semantics)."""
+
+    branch_size: int
+    trunk_size: int
+    hidden_dim: int
+    num_outputs: int
+
+    def _inner(self) -> DeepONet:
+        return DeepONet(self.branch_size, self.trunk_size, self.hidden_dim,
+                        self.num_outputs)
+
+    def init(self, key) -> dict:
+        return self._inner().init(key)
+
+    def apply(self, params: dict, x: jnp.ndarray, boundary=None) -> jnp.ndarray:
+        out = self._inner().apply(params, x, boundary)
+        return jnp.sum(out, axis=-1, keepdims=True)  # reduce to [B, n, n, 1]

@@ -60,13 +60,17 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
         x_src = jnp.pad(x_src, ((0, e_pad - e), (0, 0)))
 
     def kernel(h_ref, x_ref, w3_ref, b3_ref, out_ref):
-        # [blk, K] @ [K, c2] on the MXU; stays in VMEM.
+        # [blk, K] @ [K, c2] on the MXU; the w^2-wide result stays in VMEM.
         w_e = jnp.dot(h_ref[:], w3_ref[:], preferred_element_type=jnp.float32)
         w_e = w_e + b3_ref[:]
-        w_e = w_e.reshape(block_e, c_in, c_out)
-        # m[b, o] = sum_a x[b, a] * W[b, a, o]  — batched contraction (VPU).
-        out_ref[:] = jnp.einsum("ba,bao->bo", x_ref[:], w_e,
-                                preferred_element_type=jnp.float32)
+        # m[b, o] = sum_a x[b, a] * W[b, a*c_out + o].  Mosaic on this
+        # toolchain rejects batched dots and 3D broadcasts, so unroll the
+        # contraction as c_in slice-MACs over 2D tiles (VPU).
+        x = x_ref[:]
+        acc = x[:, 0:1] * w_e[:, 0:c_out]
+        for a in range(1, c_in):
+            acc = acc + x[:, a:a + 1] * w_e[:, a * c_out:(a + 1) * c_out]
+        out_ref[:] = acc
 
     grid = (e_pad // block_e,)
     out = pl.pallas_call(

@@ -137,9 +137,12 @@ class PartitionScheduler:
         return batches
 
     # -- training --------------------------------------------------------
+    def _state_path(self, i: int) -> str:
+        return os.path.join(self.collection_dir(), f"partition_{i}_state.npz")
+
     def train(self, train_config: dict, subset_idx=None,
               start_from_pretrained: bool = False, seed: int = 0,
-              lr_schedule: str = "step"):
+              lr_schedule: str = "step", resume: bool = False):
         subsets = (self.subset_indices if subset_idx is None
                    else [self.subset_indices[i] for i in subset_idx])
         trainer = Trainer(self.model, lr=train_config["lr"])
@@ -160,6 +163,14 @@ class PartitionScheduler:
             params, opt_state = trainer.init(key)
             if pretrained is not None and i < len(pretrained):
                 params = pretrained[i]
+            start_epoch = 0
+            if resume and os.path.exists(self._state_path(i)):
+                # full step-resume: params + optimizer state + epoch counter
+                # (capability absent from the reference, SURVEY §5)
+                params = ckpt.load_params(self._ckpt_path(i))
+                opt_state, extra = ckpt.load_tree_like(self._state_path(i), opt_state)
+                start_epoch = int(extra.get("epoch", 0)) + 1
+                print(f"Resuming partition {i} from epoch {start_epoch}")
             if self.mesh is not None:
                 params = replicate(params, self.mesh)
 
@@ -174,7 +185,8 @@ class PartitionScheduler:
             log_interval = train_config.get("log_interval", 10)
             val_interval = train_config.get("val_interval", 10)
             rng = np.random.default_rng(seed)
-            for epoch in range(epochs):
+            last_good = jax.device_get(params)
+            for epoch in range(start_epoch, epochs):
                 order = rng.permutation(len(train_batches))
                 train_loss = 0.0
                 for b in order:
@@ -182,6 +194,17 @@ class PartitionScheduler:
                     params, opt_state, loss = trainer.step(params, opt_state, batch)
                     train_loss += float(loss)
                 train_loss /= max(len(train_batches), 1)
+                if not np.isfinite(train_loss):
+                    # NaN guard: roll back to last finite params, halve the LR
+                    # (failure-recovery subsystem; reference has none, SURVEY §5)
+                    print(f"Epoch {epoch}: non-finite loss, rolling back + halving lr")
+                    params = jax.device_put(last_good)
+                    if self.mesh is not None:
+                        params = replicate(params, self.mesh)
+                    opt_state = trainer.set_lr(
+                        opt_state, float(opt_state.hyperparams["learning_rate"]) * 0.5)
+                    continue
+                last_good = jax.device_get(params)
                 logger.log({"train_loss": train_loss,
                             "lr": float(opt_state.hyperparams["learning_rate"])},
                            step=epoch)
@@ -194,6 +217,8 @@ class PartitionScheduler:
                     if val_loss < best_loss:
                         best_loss = val_loss
                         self._save_model(i, params)
+                        ckpt.save_tree(self._state_path(i), opt_state,
+                                       extra={"epoch": epoch, "best_loss": best_loss})
                         print(f"Epoch {epoch}: Validation loss: {val_loss}")
                 if lr_schedule == "plateau":
                     new_lr = sched.update(train_loss)

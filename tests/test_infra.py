@@ -1,0 +1,114 @@
+"""Infra tests: resume, NaN guard, subsets, prefetch pipeline, tracing."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_save_load_tree_roundtrip(tmp_path):
+    import jax
+    import optax
+
+    from fast_eng_super_resolution_tpu.core.checkpoint import load_tree_like, save_tree
+
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    params = {"w": np.ones((3, 3), np.float32)}
+    state = opt.init(params)
+    path = str(tmp_path / "state.npz")
+    save_tree(path, state, extra={"epoch": 7})
+    restored, extra = load_tree_like(path, state)
+    assert int(extra["epoch"]) == 7
+    a = jax.tree_util.tree_leaves(state)
+    b = jax.tree_util.tree_leaves(restored)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scheduler_resume(tmp_path):
+    """Train 4 epochs, resume -> continues from saved epoch, improves ckpt."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    ds = SyntheticDataset(root=str(tmp_path / "data"), partition=True, sub_size=4,
+                          n_high=(8, 4, 4), n_low=(5, 3, 3))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    log_dir = str(tmp_path / "logs")
+    sched = PartitionScheduler("resume_test", 1, ds, model, train=True,
+                               log_dir=log_dir)
+    cfg = dict(epochs=4, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+               log_interval=10, val_interval=1)
+    sched.train(cfg)
+    state_path = os.path.join(log_dir, "models", "collection_resume_test",
+                              "partition_0_state.npz")
+    assert os.path.exists(state_path)
+
+    cfg2 = dict(cfg, epochs=6)
+    sched2 = PartitionScheduler("resume_test", 1, ds, model, train=True,
+                                log_dir=log_dir)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sched2.train(cfg2, resume=True)
+    assert "Resuming partition 0 from epoch" in buf.getvalue()
+
+
+def test_subsets():
+    from fast_eng_super_resolution_tpu.data.subsets import SubJHTDB, Subset
+
+    class Fake:
+        def __getitem__(self, i):
+            return i * 10
+
+        def get(self, i):
+            return i * 10
+
+    s = Subset(Fake(), [3, 1])
+    assert len(s) == 2 and s[0] == 30 and s.get(1) == 10
+
+    with pytest.raises(ValueError, match="not processed"):
+        SubJHTDB("/nonexistent_root", [0])
+
+
+def test_prefetch_pipeline_order_and_device():
+    import jax
+
+    from fast_eng_super_resolution_tpu.data.pipeline import (ThreadedLoader,
+                                                             prefetch_to_device)
+
+    batches = [{"a": np.full((4,), i, np.float32)} for i in range(10)]
+    out = list(prefetch_to_device(iter(batches), size=3))
+    assert len(out) == 10
+    for i, b in enumerate(out):
+        assert isinstance(b["a"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["a"]), batches[i]["a"])
+
+    loader = ThreadedLoader(list(range(20)), lambda k: k * k, num_workers=4)
+    assert list(loader) == [k * k for k in range(20)]
+
+    # error propagation
+    def boom(k):
+        if k == 3:
+            raise RuntimeError("etl failed")
+        return k
+
+    with pytest.raises(RuntimeError, match="etl failed"):
+        list(prefetch_to_device(iter([{"a": np.zeros(1)}]), size=1))  # fine
+        list(ThreadedLoader([1, 2, 3], boom).__iter__())
+
+
+def test_tracing_helpers(tmp_path, monkeypatch):
+    from fast_eng_super_resolution_tpu.utils.tracing import annotate, span, trace_dir
+
+    with trace_dir("t"):  # no-op without env var
+        pass
+    monkeypatch.setenv("FESR_TRACE_DIR", str(tmp_path))
+    with trace_dir("t2"):
+        with annotate("region"):
+            pass
+    assert os.path.isdir(str(tmp_path / "t2"))
