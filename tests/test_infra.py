@@ -112,3 +112,33 @@ def test_tracing_helpers(tmp_path, monkeypatch):
         with annotate("region"):
             pass
     assert os.path.isdir(str(tmp_path / "t2"))
+
+
+def test_mesh_io_utilities(tmp_path):
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+    from fast_eng_super_resolution_tpu.data.vtu import read_vtu
+    from fast_eng_super_resolution_tpu.utils.mesh_io import (
+        convert_arrays_to_32bit, save_graph_to_vtk, write_partition_visualization)
+
+    arrays = convert_arrays_to_32bit({"a": np.ones(3, np.float64),
+                                      "b": np.ones(3, np.int64),
+                                      "c": np.ones(3, np.float32)})
+    assert arrays["a"].dtype == np.float32
+    assert arrays["b"].dtype == np.int32
+    assert arrays["c"].dtype == np.float32
+
+    mesh = make_duct_mesh(6, 4, 4)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    path = str(tmp_path / "pred.vtu")
+    save_graph_to_vtk(mesh.points, mesh.cells, p[:, 0], path)
+    g = read_vtu(path)
+    assert g["point_data"]["prediction"].shape == (len(mesh.points), 3)
+
+    subs = extract_subdomains(mesh.points, mesh.cells, y, y, 4, "all_intersecting")
+    vis = str(tmp_path / "parts.vtu")
+    write_partition_visualization(mesh.points, mesh.cells, subs, vis)
+    g2 = read_vtu(vis)
+    assert (g2["cell_data"]["partition"] >= 0).all()
+    assert g2["point_data"]["overlap_count"].max() >= 2  # overlap mode
