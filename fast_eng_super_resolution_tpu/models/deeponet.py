@@ -45,6 +45,18 @@ class DeepONet:
         trunk_out = mlp_apply(params["trunk"], grid, jax.nn.relu)
         return branch_out * trunk_out
 
+    def import_pth(self, state_dict) -> dict:
+        """Params from a torch DeepONet state_dict (model.py:213-233 layout:
+        branch.{0,2,4}.*, trunk.{0,2,4}.*)."""
+        from .common import from_torch_linear
+
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in state_dict.items()}
+        return {
+            "branch": [from_torch_linear(sd, f"branch.{i}") for i in (0, 2, 4)],
+            "trunk": [from_torch_linear(sd, f"trunk.{i}") for i in (0, 2, 4)],
+        }
+
 
 @dataclasses.dataclass(frozen=True)
 class AdaptDeepONet:

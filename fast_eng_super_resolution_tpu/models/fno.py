@@ -91,6 +91,40 @@ class FNO2d:
                                  "mlp2": _conv1x1_init(jax.random.fold_in(ks[11 if i < 3 else 13], i), w, w)}
         return params
 
+    def import_pth(self, state_dict) -> dict:
+        """Params from a torch FNO2d state_dict (model.py:63-99 layout):
+        p.*, conv{0-3}.weights{1,2} (complex), mlp{0-3}.mlp{1,2}.* (1x1 Conv2d),
+        w{0-3}.* (1x1 Conv2d), q.mlp{1,2}.*."""
+        import numpy as np
+
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in state_dict.items()}
+
+        def lin(prefix):  # torch Linear [out,in] -> {'w': [in,out]}
+            return {"w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).T, jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+        def conv1x1(prefix):  # Conv2d k=1 weight [out,in,1,1]
+            w = np.asarray(sd[f"{prefix}.weight"])[:, :, 0, 0]
+            return {"w": jnp.asarray(w.T, jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+        params = {"p": lin("p"),
+                  "q": {"mlp1": conv1x1("q.mlp1"), "mlp2": conv1x1("q.mlp2")}}
+        for i in range(4):
+            w1 = np.asarray(sd[f"conv{i}.weights1"])
+            w2 = np.asarray(sd[f"conv{i}.weights2"])
+            params[f"conv{i}"] = {
+                "w1_re": jnp.asarray(w1.real, jnp.float32),
+                "w1_im": jnp.asarray(w1.imag, jnp.float32),
+                "w2_re": jnp.asarray(w2.real, jnp.float32),
+                "w2_im": jnp.asarray(w2.imag, jnp.float32),
+            }
+            params[f"w{i}"] = conv1x1(f"w{i}")
+            params[f"mlp{i}"] = {"mlp1": conv1x1(f"mlp{i}.mlp1"),
+                                 "mlp2": conv1x1(f"mlp{i}.mlp2")}
+        return params
+
     def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         """x: [B, H, W, C_in] -> [B, H, W, 128] (matches model.py:100-133)."""
         b, h, w_dim = x.shape[0], x.shape[1], x.shape[2]

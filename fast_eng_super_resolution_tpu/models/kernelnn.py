@@ -34,7 +34,7 @@ class KernelNN:
     ker_in: int = 1
     in_width: int = 3
     out_width: int = 3
-    mode: str = "factored"  # 'factored' (MXU) or 'edge' (literal per-edge bmm)
+    mode: str = "auto"  # auto -> best for backend; or factored | edge | pallas
 
     def init(self, key) -> dict:
         w = self.width

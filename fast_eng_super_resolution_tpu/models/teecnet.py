@@ -38,7 +38,7 @@ class TEECNet:
     out_channels: int
     num_layers: int = 4
     in_edge: int = 1
-    mode: str = "factored"
+    mode: str = "auto"  # auto -> best for backend; or factored | edge | pallas
 
     def init(self, key) -> dict:
         w = self.width

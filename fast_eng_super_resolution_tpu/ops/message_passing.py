@@ -34,7 +34,24 @@ import jax.numpy as jnp
 
 from .segment import masked_segment_mean, masked_segment_sum
 
-Mode = Literal["factored", "edge"]
+Mode = Literal["auto", "factored", "edge", "pallas"]
+
+
+def resolve_mode(mode: str) -> str:
+    """'auto' -> best measured mode for the current backend.
+
+    Measured on v5e (35k-node duct batch, width 48): edge 126 ms/fwd,
+    pallas 133 ms, factored 376 ms (the [E, K, C] gather of node-side
+    precomputes dominates).  On CPU the factored form wins (no
+    gather penalty, smaller GEMMs).
+    """
+    if mode != "auto":
+        return mode
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return "edge" if backend == "tpu" else "factored"
 
 
 def apply_edge_mlp_hidden(params: list[dict], e: jnp.ndarray, activation) -> jnp.ndarray:
@@ -86,6 +103,7 @@ def edge_conditioned_conv(
     Returns:
       [N, C_out] updated node features.
     """
+    mode = resolve_mode(mode)
     n = x.shape[0]
     w3, b3 = edge_mlp[-1]["w"], edge_mlp[-1]["b"]
     k = w3.shape[0]
