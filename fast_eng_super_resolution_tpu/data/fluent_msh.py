@@ -1,4 +1,4 @@
-"""Fluent legacy ``.msh`` (ASCII) parser and writer.
+"""Fluent legacy ``.msh`` parser and writer (ASCII + binary sections).
 
 Replaces vtkFLUENTReader (/root/reference/dataset/GraphDataset.py:323-330).
 The format is scheme-like sections ``(index (header-args) [payload])`` with
@@ -15,9 +15,15 @@ hexadecimal indices:
   (45 (zid type name)())                zone name metadata
   (39 (zid type name)())                alt zone metadata
 
+Binary variants use offset indices with raw little-endian payloads after the
+header's opening paren, closed by ``End of Binary Section``:
+
+  (3010 ...)  nodes, float32        (2010 ...)  nodes, float64
+  (3013 ...)  faces, int32          (2013 ...)  faces, int32
+
 Only what the pipeline needs is consumed (nodes, faces+adjacency, zone names);
-unknown sections are skipped structurally.  Writer emits the same subset so
-tests round-trip real parser behavior.
+unknown sections are skipped structurally.  The writer emits the same subset
+(``binary=True`` for the binary form) so tests round-trip parser behavior.
 """
 
 from __future__ import annotations
@@ -29,6 +35,9 @@ import numpy as np
 from .fluent_mesh import BC_INTERIOR, BC_WALL, FaceZone, FluentMesh
 
 _FACE_NNODES = {2: 2, 3: 3, 4: 4}  # linear/tri/quad face types
+_BINARY_NODE_SECTIONS = {2010: np.float64, 3010: np.float32}
+_BINARY_FACE_SECTIONS = {2013: np.int32, 3013: np.int32}
+_END_BINARY = re.compile(rb"End\s+of\s+Binary\s+Section\s+\d+\)?")
 
 
 def _tokenize_sections(text: str):
@@ -84,14 +93,99 @@ def _tokenize_sections(text: str):
         i = k
 
 
+def _parse_ascii_faces(payload: str, count: int, ftype: int):
+    nums = [int(t, 16) for t in payload.split()]
+    faces, c0s, c1s = [], [], []
+    pos = 0
+    for _ in range(count):
+        if ftype in _FACE_NNODES:
+            nn = _FACE_NNODES[ftype]
+        else:
+            nn = nums[pos]
+            pos += 1
+        faces.append(np.array(nums[pos:pos + nn], np.int64) - 1)
+        pos += nn
+        c0s.append(nums[pos] - 1)
+        c1s.append(nums[pos + 1] - 1)
+        pos += 2
+    return faces, np.array(c0s), np.array(c1s)
+
+
+def _parse_binary_faces(buf: bytes, count: int, ftype: int, dtype):
+    ints = np.frombuffer(buf, dtype=dtype)
+    faces, c0s, c1s = [], [], []
+    pos = 0
+    for _ in range(count):
+        if ftype in _FACE_NNODES:
+            nn = _FACE_NNODES[ftype]
+        else:
+            nn = int(ints[pos])
+            pos += 1
+        faces.append(ints[pos:pos + nn].astype(np.int64) - 1)
+        pos += nn
+        c0s.append(int(ints[pos]) - 1)
+        c1s.append(int(ints[pos + 1]) - 1)
+        pos += 2
+    return faces, np.array(c0s), np.array(c1s)
+
+
 def read_msh(path: str) -> FluentMesh:
-    with open(path) as f:
-        text = f.read()
+    with open(path, "rb") as f:
+        data = f.read()
 
     points = None
     zone_names: dict[int, str] = {}
     raw_face_zones = []
     num_cells = 0
+
+    # ---- binary sections: extract payloads, blank them out of the text ----
+    text_parts = []
+    cursor = 0
+    hdr_re = re.compile(rb"\((\d+)\s*\(([^)]*)\)\s*\(")
+    for m in hdr_re.finditer(data):
+        index = int(m.group(1))
+        if index not in _BINARY_NODE_SECTIONS and index not in _BINARY_FACE_SECTIONS:
+            continue
+        if m.start() < cursor:
+            continue
+        header = m.group(2).decode()
+        args = [int(a, 16) for a in header.split()[:5]]
+        zid, first, last = args[0], args[1], args[2]
+        count = last - first + 1
+        start = m.end()
+        if index in _BINARY_NODE_SECTIONS:
+            dtype = np.dtype(_BINARY_NODE_SECTIONS[index])
+            nd = args[4] if len(args) > 4 else 3
+            nbytes = count * nd * dtype.itemsize
+            coords = np.frombuffer(data[start:start + nbytes], dtype=dtype)
+            coords = coords.reshape(count, nd).astype(np.float64)
+            if nd == 2:
+                coords = np.concatenate([coords, np.zeros((count, 1))], 1)
+            if points is None:
+                points = np.zeros((last, 3), np.float64)
+            points[first - 1:last] = coords
+            end = start + nbytes
+        else:
+            dtype = np.dtype(_BINARY_FACE_SECTIONS[index])
+            bctype = args[3]
+            ftype = args[4] if len(args) > 4 else 0
+            if ftype in _FACE_NNODES:
+                nbytes = count * (_FACE_NNODES[ftype] + 2) * dtype.itemsize
+                buf = data[start:start + nbytes]
+                end = start + nbytes
+            else:
+                tail = _END_BINARY.search(data, start)
+                stop = tail.start() if tail else len(data)
+                buf = data[start:stop].rstrip(b")\n\r\t (")
+                end = stop
+            faces, c0, c1 = _parse_binary_faces(buf, count, ftype, dtype)
+            raw_face_zones.append((zid, bctype, faces, c0, c1))
+        tail = _END_BINARY.search(data, end)
+        end = tail.end() if tail else end
+        text_parts.append(data[cursor:m.start()])
+        cursor = end
+    text_parts.append(data[cursor:])
+    text = b"".join(text_parts).decode("latin-1")
 
     for index, header, payload in _tokenize_sections(text):
         if index == 2:
@@ -100,8 +194,8 @@ def read_msh(path: str) -> FluentMesh:
             args = [int(a, 16) for a in header.split()[:4]]
             zid, first, last = args[0], args[1], args[2]
             if zid == 0:
-                total = last - first + 1
-                points = np.zeros((total, 3), np.float64)
+                if points is None:  # binary sections may have filled it already
+                    points = np.zeros((last - first + 1, 3), np.float64)
             else:
                 coords = np.array(payload.split(), dtype=np.float64)
                 nd = coords.size // (last - first + 1)
@@ -124,24 +218,8 @@ def read_msh(path: str) -> FluentMesh:
             ftype = args[4] if len(args) > 4 else 0
             if zid == 0:
                 continue
-            nums = [int(t, 16) for t in payload.split()]
-            faces, c0s, c1s = [], [], []
-            pos = 0
-            count = last - first + 1
-            for _ in range(count):
-                if ftype in _FACE_NNODES:
-                    nn = _FACE_NNODES[ftype]
-                else:
-                    nn = nums[pos]
-                    pos += 1
-                nodes = np.array(nums[pos:pos + nn], np.int64) - 1
-                pos += nn
-                c0, c1 = nums[pos] - 1, nums[pos + 1] - 1
-                pos += 2
-                faces.append(nodes)
-                c0s.append(c0)
-                c1s.append(c1)
-            raw_face_zones.append((zid, bctype, faces, np.array(c0s), np.array(c1s)))
+            faces, c0s, c1s = _parse_ascii_faces(payload, last - first + 1, ftype)
+            raw_face_zones.append((zid, bctype, faces, c0s, c1s))
         elif index in (39, 45):
             m = re.match(r"\s*(\d+)\s+(\S+)\s+(\S+)", header)
             if m:
@@ -158,32 +236,55 @@ def read_msh(path: str) -> FluentMesh:
                       num_cells=num_cells)
 
 
-def write_msh(path: str, mesh: FluentMesh) -> None:
-    """Writes the ASCII subset read_msh consumes (round-trip for tests)."""
-    lines = ['(0 "fast_eng_super_resolution_tpu mesh")', "(2 3)"]
+def write_msh(path: str, mesh: FluentMesh, binary: bool = False) -> None:
+    """Writes the subset read_msh consumes (round-trip for tests).
+
+    binary=True emits (3010) float32 node and (3013) int32 face sections with
+    raw little-endian payloads.
+    """
     n = len(mesh.points)
-    lines.append(f"(10 (0 1 {n:x} 0 3))")
-    coord_lines = "\n".join(" ".join(f"{v:.9e}" for v in p) for p in mesh.points)
-    lines.append(f"(10 (1 1 {n:x} 1 3)(\n{coord_lines}\n))")
-    lines.append(f"(12 (0 1 {mesh.num_cells:x} 0))")
-    lines.append(f"(12 (2 1 {mesh.num_cells:x} 1 2))")
+    chunks: list[bytes] = [b'(0 "fast_eng_super_resolution_tpu mesh")\n(2 3)\n']
+    chunks.append(f"(10 (0 1 {n:x} 0 3))\n".encode())
+    if binary:
+        chunks.append(f"(3010 (1 1 {n:x} 1 3)(".encode())
+        chunks.append(np.ascontiguousarray(mesh.points, np.float32).tobytes())
+        chunks.append(b")\nEnd of Binary Section 3010)\n")
+    else:
+        coord_lines = "\n".join(" ".join(f"{v:.9e}" for v in p) for p in mesh.points)
+        chunks.append(f"(10 (1 1 {n:x} 1 3)(\n{coord_lines}\n))\n".encode())
+    chunks.append(f"(12 (0 1 {mesh.num_cells:x} 0))\n".encode())
+    chunks.append(f"(12 (2 1 {mesh.num_cells:x} 1 2))\n".encode())
 
     first = 1
     for zone in mesh.face_zones:
         fn = zone.face_nodes
-        faces = list(fn) if not (isinstance(fn, np.ndarray) and fn.ndim == 2) else [fn[i] for i in range(fn.shape[0])]
+        faces = (list(fn) if not (isinstance(fn, np.ndarray) and fn.ndim == 2)
+                 else [fn[i] for i in range(fn.shape[0])])
         last = first + len(faces) - 1
-        rows = []
-        for face, c0, c1 in zip(faces, zone.c0, zone.c1):
-            toks = [f"{len(face):x}"] + [f"{v + 1:x}" for v in face] + [f"{c0 + 1:x}", f"{c1 + 1:x}"]
-            rows.append(" ".join(toks))
-        body = "\n".join(rows)
-        lines.append(f"(13 ({zone.zone_id:x} {first:x} {last:x} {zone.bc_type:x} 0)(\n{body}\n))")
+        if binary:
+            ints: list[int] = []
+            for face, c0, c1 in zip(faces, zone.c0, zone.c1):
+                ints.append(len(face))
+                ints.extend(int(v) + 1 for v in face)
+                ints.extend((int(c0) + 1, int(c1) + 1))
+            chunks.append(
+                f"(3013 ({zone.zone_id:x} {first:x} {last:x} {zone.bc_type:x} 0)(".encode())
+            chunks.append(np.asarray(ints, np.int32).tobytes())
+            chunks.append(b")\nEnd of Binary Section 3013)\n")
+        else:
+            rows = []
+            for face, c0, c1 in zip(faces, zone.c0, zone.c1):
+                toks = ([f"{len(face):x}"] + [f"{v + 1:x}" for v in face]
+                        + [f"{c0 + 1:x}", f"{c1 + 1:x}"])
+                rows.append(" ".join(toks))
+            body = "\n".join(rows)
+            chunks.append(
+                f"(13 ({zone.zone_id:x} {first:x} {last:x} {zone.bc_type:x} 0)(\n{body}\n))\n".encode())
         first = last + 1
 
     for zone in mesh.face_zones:
         ztype, _, zname = zone.name.partition(":")
-        lines.append(f"(45 ({zone.zone_id} {ztype} {zname or ztype})())")
-    lines.append(f"(45 (2 interior {mesh.cell_zone_name})())")
-    with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        chunks.append(f"(45 ({zone.zone_id} {ztype} {zname or ztype})())\n".encode())
+    chunks.append(f"(45 (2 interior {mesh.cell_zone_name})())\n".encode())
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))

@@ -87,3 +87,21 @@ def test_cff_reader_error_names_missing_path(tmp_path):
         f.create_group("settings")
     with pytest.raises(KeyError, match="meshes"):
         read_cas_h5(path)
+
+
+def test_msh_binary_roundtrip(tmp_path, tet_mesh):
+    """Binary (3010/3013) sections round-trip like ASCII ones."""
+    from fast_eng_super_resolution_tpu.data.fluent_msh import read_msh, write_msh
+
+    duct, fm = tet_mesh
+    path = str(tmp_path / "mesh_bin.msh")
+    write_msh(path, fm, binary=True)
+    back = read_msh(path)
+    np.testing.assert_allclose(back.points, fm.points, rtol=1e-6)
+    assert back.num_cells == fm.num_cells
+    assert len(back.face_zones) == len(fm.face_zones)
+    for za, zb in zip(back.face_zones, fm.face_zones):
+        assert za.bc_type == zb.bc_type
+        np.testing.assert_array_equal(za.c0, zb.c0)
+        np.testing.assert_array_equal(np.asarray(za.face_nodes), np.asarray(zb.face_nodes))
+    np.testing.assert_array_equal(back.edges(), fm.edges())
