@@ -131,3 +131,22 @@ def test_reference_checkpoint_drop_in(tmp_path, synth):
     x = synth.get_one_full_sample(0)
     pred, ref, midx, w = sched.predict(x)
     assert all(np.isfinite(p).all() for p in pred)
+
+
+def test_teecnet_and_graphsage_train_through_scheduler(synth, tmp_path_factory):
+    """The scheduler is model-agnostic across the graph-model zoo."""
+    from fast_eng_super_resolution_tpu.models.graphsage import GraphSAGE
+    from fast_eng_super_resolution_tpu.models.teecnet import TEECNet
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    cfg = dict(epochs=2, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+               log_interval=10, val_interval=1)
+    for name, model in (
+            ("synth_teecnet", TEECNet(in_channels=4, width=8, out_channels=4, num_layers=2)),
+            ("synth_sage", GraphSAGE(in_channels=4, out_channels=4, num_layers=2))):
+        log_dir = str(tmp_path_factory.mktemp(f"logs_{name}"))
+        sched = PartitionScheduler(name, 1, synth, model, train=True, log_dir=log_dir)
+        sched.train(cfg)
+        x = synth.get_one_full_sample(0)
+        pred, ref, midx, w = sched.predict(x)
+        assert all(np.isfinite(p).all() for p in pred)
