@@ -32,9 +32,9 @@ from ..core.graph import GraphBatch
 from ..ops.loss import gradient_weight_scalar, linf_loss
 
 
-def batched_loss(model, params, batch: GraphBatch, kind: str = "gradient",
-                 linf_weight: float = 0.1) -> jnp.ndarray:
-    """Reference-faithful loss over a batch of padded subdomain graphs."""
+def batched_loss_parts(model, params, batch: GraphBatch):
+    """Per-batch partial sums (sq_sum, n_real, w_sum, linf_max) — combinable
+    across devices with psum/pmax before the nonlinear composition."""
 
     def per_graph(g: GraphBatch):
         pred = model.apply(params, g.x, g.senders, g.receivers, g.edge_attr,
@@ -48,10 +48,22 @@ def batched_loss(model, params, batch: GraphBatch, kind: str = "gradient",
         return sq_sum, n_real, w, linf
 
     sq_sum, n_real, w, linf = jax.vmap(per_graph)(batch)
-    mse = jnp.sum(sq_sum) / jnp.maximum(jnp.sum(n_real), 1.0)
+    return jnp.sum(sq_sum), jnp.sum(n_real), jnp.sum(w), jnp.max(linf)
+
+
+def combine_loss_parts(sq_sum, n_real, w_sum, linf_max, kind: str = "gradient",
+                       linf_weight: float = 0.1) -> jnp.ndarray:
+    mse = sq_sum / jnp.maximum(n_real, 1.0)
     if kind == "mse":
         return mse
-    return mse * jnp.sum(w) + linf_weight * jnp.max(linf)
+    return mse * w_sum + linf_weight * linf_max
+
+
+def batched_loss(model, params, batch: GraphBatch, kind: str = "gradient",
+                 linf_weight: float = 0.1) -> jnp.ndarray:
+    """Reference-faithful loss over a batch of padded subdomain graphs."""
+    parts = batched_loss_parts(model, params, batch)
+    return combine_loss_parts(*parts, kind=kind, linf_weight=linf_weight)
 
 
 @dataclasses.dataclass
@@ -106,6 +118,62 @@ class Trainer:
     def set_lr(opt_state, lr: float):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt_state
+
+    def make_shard_map_step(self, mesh, axis: str = "data"):
+        """Explicit-collective variant of the train step via ``shard_map``.
+
+        The default jit step lets GSPMD place the gradient all-reduce; this
+        variant spells it out — each device computes grads on its local batch
+        shard and the mean-gradient ``psum`` over the ICI ring is written
+        explicitly (the literal analogue of DDP's bucketed all-reduce,
+        scheduler_gnn.py:386).  Semantics match the jit step when every shard
+        holds the same number of real (unmasked) graphs.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def global_loss(params, batch):
+            # psum/pmax the loss PARTS, then compose — exactly the single-
+            # program semantics (the loss is nonlinear in its parts, so a
+            # naive pmean of per-shard losses would be wrong).
+            sq, n, w, linf = batched_loss_parts(self.model, params, batch)
+            sq = jax.lax.psum(sq, axis)
+            n = jax.lax.psum(n, axis)
+            w = jax.lax.psum(w, axis)
+            # differentiable cross-shard max: pmax has no VJP, so select the
+            # owning shard(s) under stop_gradient and psum — the gradient
+            # flows only to the max's owner (max subgradient, split on ties)
+            linf_sg = jax.lax.stop_gradient(linf)
+            linf_max = jax.lax.pmax(linf_sg, axis)
+            owner = (linf_sg == linf_max).astype(linf.dtype)
+            count = jax.lax.psum(owner, axis)
+            linf = jax.lax.psum(owner * linf, axis) / jnp.maximum(count, 1.0)
+            return combine_loss_parts(sq, n, w, linf, self.loss_kind,
+                                      self.linf_weight)
+
+        def local_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(global_loss)(params, batch)
+            # grads of the psum'd loss are already partial-per-shard sums of a
+            # shared scalar: all-reduce them to the replicated global gradient
+            grads = jax.lax.psum(grads, axis_name=axis)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def step(params, opt_state, batch):
+            specs_batch = jax.tree_util.tree_map(lambda _: P(axis), batch)
+            mapped = shard_map(
+                local_step, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P(), params),
+                          jax.tree_util.tree_map(lambda _: P(), opt_state),
+                          specs_batch),
+                out_specs=(jax.tree_util.tree_map(lambda _: P(), params),
+                           jax.tree_util.tree_map(lambda _: P(), opt_state),
+                           P()),
+                check_rep=False)
+            return mapped(params, opt_state, batch)
+
+        return jax.jit(step)
 
 
 class StepLR:

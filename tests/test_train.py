@@ -103,3 +103,32 @@ def test_lr_schedules():
     # plateau: 3 bad epochs (> patience) triggers halving
     r.update(0.9); r.update(0.9)
     assert r.update(0.9) == 0.5
+
+
+def test_shard_map_step_matches_jit_step():
+    """Explicit psum shard_map step == GSPMD jit step (8 virtual devices)."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.mesh import (
+        make_mesh, pad_batch_to_multiple, replicate, shard_batch)
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    batch = _make_batch(n_graphs=8)
+    mesh = make_mesh()
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    trainer = Trainer(model, lr=1e-3, donate=False)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    params_rep = replicate(params, mesh)
+    sharded = shard_batch(batch, mesh)
+
+    p_jit, _, loss_jit = trainer.step(params_rep, opt_state, sharded)
+    sm_step = trainer.make_shard_map_step(mesh)
+    p_sm, _, loss_sm = sm_step(params_rep, opt_state, sharded)
+
+    np.testing.assert_allclose(float(loss_sm), float(loss_jit), rtol=1e-4)
+    flat_a = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_jit)])
+    flat_b = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_sm)])
+    np.testing.assert_allclose(flat_a, flat_b, rtol=1e-2, atol=1e-4)
