@@ -39,11 +39,14 @@ class TEECNet:
     num_layers: int = 4
     in_edge: int = 1
     mode: str = "auto"  # auto -> best for backend; or factored | edge | pallas
+    kernel_type: str = "dense"  # 'dense' (DenseNet op kernel) | 'powerseries'
+    num_powers: int = 3
+    ps_layers: int = 3
 
     def init(self, key) -> dict:
         w = self.width
-        ks = jax.random.split(key, 6)
-        return {
+        ks = jax.random.split(key, 7)
+        params = {
             "fc1": linear_init(ks[0], self.in_channels, w),
             "kernel": {
                 "linear": linear_init(ks[1], w, w),
@@ -53,12 +56,40 @@ class TEECNet:
             },
             "fc_out": linear_init(ks[5], w, self.out_channels),
         }
+        if self.kernel_type == "powerseries":
+            from .powerseries import PowerSeriesKernel
+
+            params["kernel"]["ps"] = PowerSeriesKernel(
+                self.in_edge, w * w, self.ps_layers, self.num_powers).init(ks[6])
+        return params
 
     def apply(self, params: dict, x: jnp.ndarray, senders: jnp.ndarray,
               receivers: jnp.ndarray, edge_attr: jnp.ndarray,
               edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         kern = params["kernel"]
         h = linear(params["fc1"], x)
+
+        if self.kernel_type == "powerseries":
+            # Taylor-expansion edge kernel — the reference defines this family
+            # but leaves it disconnected (model.py:402, 427 commented); here
+            # it is a first-class alternative.  Nonlinear in its final layer,
+            # so the factored/pallas forms don't apply: per-edge matrices.
+            from ..ops.segment import masked_segment_mean
+            from .powerseries import PowerSeriesKernel
+
+            ps = PowerSeriesKernel(self.in_edge, self.width * self.width,
+                                   self.ps_layers, self.num_powers)
+            w_e = ps.apply(kern["ps"], edge_attr).reshape(
+                -1, self.width, self.width)
+
+            def body(h, _):
+                xj = linear(kern["linear"], h)[senders]
+                msg = jnp.einsum("ei,eio->eo", xj, w_e)
+                aggr = masked_segment_mean(msg, receivers, h.shape[0], edge_mask)
+                return aggr + h @ kern["root"] + kern["bias"], None
+
+            h, _ = jax.lax.scan(body, h, None, length=self.num_layers)
+            return linear(params["fc_out"], h)
 
         def body(h, _):
             h = edge_conditioned_conv(

@@ -163,3 +163,31 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     a = np.asarray(m.apply(params, g["x"], g["senders"], g["receivers"], g["edge_attr"]))
     b = np.asarray(m.apply(loaded, g["x"], g["senders"], g["receivers"], g["edge_attr"]))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_teecnet_powerseries_kernel(rng):
+    """TEECNet with the (reference-disconnected) PowerSeries edge kernel."""
+    import jax
+
+    from conftest import make_random_graph
+    from fast_eng_super_resolution_tpu.models.teecnet import TEECNet
+
+    g = make_random_graph(rng, n=40, e=160, c_in=4, c_out=4)
+    m = TEECNet(in_channels=4, width=8, out_channels=4, num_layers=2,
+                kernel_type="powerseries", num_powers=3)
+    params = m.init(jax.random.PRNGKey(0))
+    out = np.asarray(m.apply(params, g["x"], g["senders"], g["receivers"],
+                             g["edge_attr"]))
+    assert out.shape == (40, 4)
+    assert np.isfinite(out).all()
+
+    # gradient flows through the power-series coefficients
+    import jax.numpy as jnp
+
+    def loss(p):
+        o = m.apply(p, g["x"], g["senders"], g["receivers"], g["edge_attr"])
+        return jnp.sum(o ** 2)
+
+    grads = jax.grad(loss)(params)
+    gnorm = float(jnp.linalg.norm(grads["kernel"]["ps"]["conv0"]["root_param"]))
+    assert gnorm > 0
