@@ -59,30 +59,43 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
         h = jnp.pad(h, ((0, e_pad - e), (0, 0)))
         x_src = jnp.pad(x_src, ((0, e_pad - e), (0, 0)))
 
-    def kernel(h_ref, x_ref, w3_ref, b3_ref, out_ref):
-        # [blk, K] @ [K, c2] on the MXU; the w^2-wide result stays in VMEM.
-        w_e = jnp.dot(h_ref[:], w3_ref[:], preferred_element_type=jnp.float32)
-        w_e = w_e + b3_ref[:]
-        # m[b, o] = sum_a x[b, a] * W[b, a*c_out + o].  Mosaic on this
-        # toolchain rejects batched dots and 3D broadcasts, so unroll the
-        # contraction as c_in slice-MACs over 2D tiles (VPU).
-        x = x_ref[:]
-        acc = x[:, 0:1] * w_e[:, 0:c_out]
-        for a in range(1, c_in):
-            acc = acc + x[:, a:a + 1] * w_e[:, a * c_out:(a + 1) * c_out]
-        out_ref[:] = acc
+    # Reduction grid over the contraction axis a (the sender-feature index):
+    # step (i, a) computes  (h_blk @ W3[:, a*c_out:(a+1)*c_out] + b3_a) * x_blk[:, a]
+    # and accumulates into the output block, which stays VMEM-resident across
+    # the inner grid dimension.  Only a [K, c_out] weight slice is consumed
+    # per step, so VMEM stays small at any block_e (the full [blk, c_in*c_out]
+    # per-edge-matrix tile OOMs scoped vmem at useful block sizes).  Weight /
+    # x blocks are full-width (Pallas block shapes must tile (8, 128) or span
+    # the array); the a-slice happens inside the kernel with pl.ds.
+    b3_2d = b3.reshape(1, c2)
 
-    grid = (e_pad // block_e,)
+    def kernel(h_ref, x_ref, w3_ref, b3_ref, out_ref):
+        a = pl.program_id(1)
+        off = pl.multiple_of(a * c_out, c_out)
+        w_slice = w3_ref[:, pl.ds(off, c_out)]          # [K, c_out]
+        part = jnp.dot(h_ref[:], w_slice, preferred_element_type=jnp.float32)
+        part = part + b3_ref[0, pl.ds(off, c_out)]
+        part = part * x_ref[:, pl.ds(a, 1)]             # [blk, 1] broadcast
+
+        @pl.when(a == 0)
+        def _():
+            out_ref[:] = part
+
+        @pl.when(a != 0)
+        def _():
+            out_ref[:] = out_ref[:] + part
+
+    grid = (e_pad // block_e, c_in)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_e, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_e, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c2,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, k), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_e, c_in), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c2), lambda i, a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, a: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_e, c_out), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_e, c_out), lambda i, a: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((e_pad, c_out), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -90,7 +103,7 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
             bytes_accessed=4 * (e_pad * (k + c_in + c_out) + k * c2),
             transcendentals=0,
         ),
-    )(h, x_src, w3, b3)
+    )(h, x_src, w3, b3_2d)
     return out[:e]
 
 

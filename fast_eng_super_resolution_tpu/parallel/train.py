@@ -66,6 +66,24 @@ def batched_loss(model, params, batch: GraphBatch, kind: str = "gradient",
     return combine_loss_parts(*parts, kind=kind, linf_weight=linf_weight)
 
 
+def merged_loss(model, params, graph: GraphBatch, kind: str = "gradient",
+                linf_weight: float = 0.1) -> jnp.ndarray:
+    """Loss over ONE merged (block-diagonal) graph — identical math to
+    ``batched_loss`` on the unmerged batch (no cross-graph edges exist), and
+    the faithful analogue of the reference's PyG batching, which also merges
+    subdomains into one graph per step (scheduler_gnn.py:148-154).  The
+    merged layout is ~1.5x faster on TPU (core/graph.py:merge_batch)."""
+    pred = model.apply(params, graph.x, graph.senders, graph.receivers,
+                       graph.edge_attr, edge_mask=graph.edge_mask)
+    m = graph.node_mask[:, None].astype(pred.dtype)
+    sq_sum = jnp.sum((pred - graph.y) ** 2 * m)
+    n_real = jnp.sum(m) * pred.shape[-1]
+    w = gradient_weight_scalar(pred, graph.y, graph.senders, graph.receivers,
+                               graph.edge_attr, graph.edge_mask, graph.node_mask)
+    linf = linf_loss(pred, graph.y, graph.node_mask)
+    return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
+
+
 @dataclasses.dataclass
 class Trainer:
     """Owns the jit'd step/eval functions and host-side LR control."""
@@ -75,13 +93,19 @@ class Trainer:
     loss_kind: str = "gradient"
     linf_weight: float = 0.1
     donate: bool = True
+    layout: str = "batched"  # 'batched' ([B, ...] + vmap) or 'merged' (one graph)
 
     def __post_init__(self):
         self.optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
 
-        def loss_fn(params, batch):
-            return batched_loss(self.model, params, batch, self.loss_kind,
-                                self.linf_weight)
+        if self.layout == "merged":
+            def loss_fn(params, batch):
+                return merged_loss(self.model, params, batch, self.loss_kind,
+                                   self.linf_weight)
+        else:
+            def loss_fn(params, batch):
+                return batched_loss(self.model, params, batch, self.loss_kind,
+                                    self.linf_weight)
 
         def step(params, opt_state, batch):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
@@ -93,11 +117,17 @@ class Trainer:
         self._step = jax.jit(step, donate_argnums=donate)
         self._eval = jax.jit(loss_fn)
 
-        def predict(params, batch: GraphBatch):
-            return jax.vmap(
-                lambda g: self.model.apply(params, g.x, g.senders, g.receivers,
-                                           g.edge_attr, edge_mask=g.edge_mask)
-            )(batch)
+        if self.layout == "merged":
+            def predict(params, graph: GraphBatch):
+                return self.model.apply(params, graph.x, graph.senders,
+                                        graph.receivers, graph.edge_attr,
+                                        edge_mask=graph.edge_mask)
+        else:
+            def predict(params, batch: GraphBatch):
+                return jax.vmap(
+                    lambda g: self.model.apply(params, g.x, g.senders, g.receivers,
+                                               g.edge_attr, edge_mask=g.edge_mask)
+                )(batch)
 
         self._predict = jax.jit(predict)
 

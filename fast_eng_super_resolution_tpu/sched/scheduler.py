@@ -123,9 +123,19 @@ class PartitionScheduler:
                 pass  # torch optional for native training
 
     # -- batching --------------------------------------------------------
+    def _single_device(self) -> bool:
+        return self.mesh is None or len(self.mesh.devices.ravel()) == 1
+
     def _make_batches(self, raw_graphs: list[dict], batch_size: int,
-                      spec: BucketSpec | None = None):
-        """Uniform-bucket the subset once, then chunk into GraphBatches."""
+                      spec: BucketSpec | None = None, merged: bool = False):
+        """Uniform-bucket the subset once, then chunk into GraphBatches.
+
+        merged=True flattens each chunk into one block-diagonal graph
+        (core/graph.py:merge_batch) — the fast single-chip layout.  Multi-chip
+        keeps the [B, ...] layout so the batch axis can shard.
+        """
+        from ..core.graph import merge_batch
+
         spec = spec or BucketSpec()
         buckets = pad_and_bucket(raw_graphs, spec, uniform=True)
         (_, idxs, big_batch) = buckets[0]
@@ -133,6 +143,8 @@ class PartitionScheduler:
         for start in range(0, len(idxs), batch_size):
             sl = slice(start, start + batch_size)
             chunk = jax.tree_util.tree_map(lambda x: x[sl], big_batch)
+            if merged:
+                chunk, _ = merge_batch(chunk)
             batches.append((idxs[sl], chunk))
         return batches
 
@@ -145,7 +157,10 @@ class PartitionScheduler:
               lr_schedule: str = "step", resume: bool = False):
         subsets = (self.subset_indices if subset_idx is None
                    else [self.subset_indices[i] for i in subset_idx])
-        trainer = Trainer(self.model, lr=train_config["lr"])
+        merged = self._single_device()  # merged layout: 1.5x on one chip;
+        # multi-chip keeps [B,...] so the batch axis shards across the mesh
+        trainer = Trainer(self.model, lr=train_config["lr"],
+                          layout="merged" if merged else "batched")
         pretrained = self._load_models() if start_from_pretrained else None
 
         for i, subset in enumerate(subsets):
@@ -156,8 +171,10 @@ class PartitionScheduler:
             if len(va_idx) == 0:
                 va_idx = tr_idx[-1:]
             batch_size = max(1, min(train_config["batch_size"], len(tr_idx)))
-            train_batches = self._make_batches([raw[j] for j in tr_idx], batch_size)
-            val_batches = self._make_batches([raw[j] for j in va_idx], batch_size)
+            train_batches = self._make_batches([raw[j] for j in tr_idx], batch_size,
+                                               merged=merged)
+            val_batches = self._make_batches([raw[j] for j in va_idx], batch_size,
+                                             merged=merged)
 
             key = jax.random.PRNGKey(seed + i)
             params, opt_state = trainer.init(key)
@@ -255,9 +272,20 @@ class PartitionScheduler:
 
         stacked = stack_params(self.params_list) if self.num_partitions > 1 else None
         routed = make_routed_apply(self.model) if self.num_partitions > 1 else None
-        trainer_like = jax.jit(lambda params, g: jax.vmap(
-            lambda gg: self.model.apply(params, gg.x, gg.senders, gg.receivers,
-                                        gg.edge_attr, edge_mask=gg.edge_mask))(g))
+
+        def single_expert(params, batch):
+            # merged block-diagonal layout: one scatter pass for the whole
+            # batch — measured 1.5x over the vmapped path (core/graph.py)
+            from ..core.graph import merge_batch
+
+            b, n = batch.x.shape[0], batch.x.shape[1]
+            merged, _ = merge_batch(batch)
+            out = self.model.apply(params, merged.x, merged.senders,
+                                   merged.receivers, merged.edge_attr,
+                                   edge_mask=merged.edge_mask)
+            return out.reshape(b, n, -1)
+
+        trainer_like = jax.jit(single_expert)
 
         buckets = pad_and_bucket(raw, uniform=True)
         (_, idxs, batch) = buckets[0]

@@ -18,6 +18,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fast_eng_super_resolution_tpu.utils.env import setup_compilation_cache
+
+setup_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -132,3 +132,30 @@ def test_shard_map_step_matches_jit_step():
     flat_a = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_jit)])
     flat_b = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_sm)])
     np.testing.assert_allclose(flat_a, flat_b, rtol=1e-2, atol=1e-4)
+
+
+def test_merged_layout_trainer_matches_batched():
+    """merged-layout loss/step == batched vmap version (same math)."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.core.graph import merge_batch
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer
+
+    batch = _make_batch(n_graphs=4)
+    merged, _ = merge_batch(batch)
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    tb = Trainer(model, lr=1e-3, donate=False)
+    tm = Trainer(model, lr=1e-3, donate=False, layout="merged")
+    params, opt_state = tb.init(jax.random.PRNGKey(0))
+
+    lb = tb.evaluate(params, batch)
+    lm = tm.evaluate(params, merged)
+    np.testing.assert_allclose(lm, lb, rtol=1e-5)
+
+    pb, _, loss_b = tb.step(params, opt_state, batch)
+    pm, _, loss_m = tm.step(params, opt_state, merged)
+    np.testing.assert_allclose(float(loss_m), float(loss_b), rtol=1e-5)
+    fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(pb)])
+    fb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(pm)])
+    np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=1e-6)
