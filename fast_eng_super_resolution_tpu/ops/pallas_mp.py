@@ -14,8 +14,14 @@ Scatter (segment-sum by receiver) stays in XLA: messages are only [E, w]
 Block sizes are aligned to the MXU/VPU tiling (multiples of 8x128 for f32);
 inputs are padded by the wrapper.  Exact same math as
 ops/message_passing.edge_conditioned_conv (parity-tested in
-tests/test_pallas.py); used automatically when running on TPU via
-mode='pallas' in the conv.
+tests/test_pallas.py, including interpreter mode).
+
+STATUS: opt-in via mode='pallas'.  On the current axon remote-compile
+toolchain the reduction-grid form stalls Mosaic (earlier single-block forms
+either OOM'd scoped VMEM at useful block sizes or lowered but showed no win
+over the 'edge' XLA path, 133 vs 126 ms/fwd) — the production default is the
+merged-layout 'edge' mode (ops/message_passing.resolve_mode).  Revisit when
+the toolchain catches up.
 """
 
 from __future__ import annotations
@@ -60,22 +66,21 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
         x_src = jnp.pad(x_src, ((0, e_pad - e), (0, 0)))
 
     # Reduction grid over the contraction axis a (the sender-feature index):
-    # step (i, a) computes  (h_blk @ W3[:, a*c_out:(a+1)*c_out] + b3_a) * x_blk[:, a]
-    # and accumulates into the output block, which stays VMEM-resident across
-    # the inner grid dimension.  Only a [K, c_out] weight slice is consumed
-    # per step, so VMEM stays small at any block_e (the full [blk, c_in*c_out]
-    # per-edge-matrix tile OOMs scoped vmem at useful block sizes).  Weight /
-    # x blocks are full-width (Pallas block shapes must tile (8, 128) or span
-    # the array); the a-slice happens inside the kernel with pl.ds.
-    b3_2d = b3.reshape(1, c2)
+    # step (i, a) computes  (h_blk @ W3[a] + b3[a]) * x_a_blk  and accumulates
+    # into the output block, which stays VMEM-resident across the inner grid
+    # dimension.  Only a [K, c_out] weight slice is live per step, so VMEM
+    # stays small at any block_e (the full [blk, c_in*c_out] per-edge-matrix
+    # tile OOMs scoped vmem at useful block sizes).  All a-selection happens
+    # through BlockSpec index maps on a-major layouts — in-kernel dynamic
+    # lane slicing stalls the Mosaic compiler on this toolchain.
+    w3_a = jnp.transpose(w3.reshape(k, c_in, c_out), (1, 0, 2))  # [c_in, K, c_out]
+    b3_a = b3.reshape(1, c_in, c_out).transpose(1, 0, 2)          # [c_in, 1, c_out]
+    x_a = x_src.T.reshape(c_in, e_pad, 1)                         # [c_in, blk, 1]
 
     def kernel(h_ref, x_ref, w3_ref, b3_ref, out_ref):
         a = pl.program_id(1)
-        off = pl.multiple_of(a * c_out, c_out)
-        w_slice = w3_ref[:, pl.ds(off, c_out)]          # [K, c_out]
-        part = jnp.dot(h_ref[:], w_slice, preferred_element_type=jnp.float32)
-        part = part + b3_ref[0, pl.ds(off, c_out)]
-        part = part * x_ref[:, pl.ds(a, 1)]             # [blk, 1] broadcast
+        part = jnp.dot(h_ref[:], w3_ref[0], preferred_element_type=jnp.float32)
+        part = (part + b3_ref[0]) * x_ref[0]             # [blk,1] broadcast
 
         @pl.when(a == 0)
         def _():
@@ -91,9 +96,12 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_e, k), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_e, c_in), lambda i, a: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c2), lambda i, a: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda i, a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_e, 1), lambda i, a: (a, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, c_out), lambda i, a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_out), lambda i, a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_e, c_out), lambda i, a: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -103,7 +111,7 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
             bytes_accessed=4 * (e_pad * (k + c_in + c_out) + k * c2),
             transcendentals=0,
         ),
-    )(h, x_src, w3, b3_2d)
+    )(h, x_a, w3_a, b3_a)
     return out[:e]
 
 
