@@ -1,0 +1,118 @@
+"""Large-mesh end-to-end scaling demo (BASELINE.json config #5).
+
+Generates a large synthetic duct mesh (default ~1M nodes), runs the full
+pipeline — native-tensorizer ETL, RCB decomposition with overlap, padded
+subdomain batches streamed through the device with host prefetch, overlap-
+average reconstruction — and reports per-stage wall time plus end-to-end
+nodes/sec.
+
+Run:  python benchmarks/large_mesh.py [--nodes 1000000] [--width 48]
+The device path uses the merged block-diagonal layout and chunks subdomains
+to bound HBM (the per-edge operator peaks at ~9 KB/edge of transient state).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = (os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals()
+         else os.getcwd())
+sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("benchmarks") else _HERE)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nodes", type=int, default=1_000_000)
+    parser.add_argument("--width", type=int, default=48)
+    parser.add_argument("--subdomains", type=int, default=64)
+    parser.add_argument("--chunk", type=int, default=8,
+                        help="subdomains per device step")
+    args = parser.parse_args()
+
+    import jax
+
+    from fast_eng_super_resolution_tpu.utils.env import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from fast_eng_super_resolution_tpu.core.graph import merge_batch, pad_and_bucket
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.pipeline import prefetch_to_device
+    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    n_side = int(round((args.nodes / 4) ** (1 / 3)))
+    dims = (4 * n_side, n_side, n_side)
+    t0 = time.perf_counter()
+    mesh = make_duct_mesh(*dims)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    t_mesh = time.perf_counter() - t0
+    print(f"mesh: {len(mesh.points):,} nodes, {len(mesh.cells):,} cells "
+          f"({t_mesh:.1f}s)")
+
+    t0 = time.perf_counter()
+    subs = extract_subdomains(mesh.points, mesh.cells, y, y, args.subdomains,
+                              "all_intersecting")
+    t_part = time.perf_counter() - t0
+    n_edges = sum(len(s.senders) for s in subs)
+    print(f"partition: {len(subs)} subdomains, {n_edges:,} edges ({t_part:.1f}s)")
+
+    raw = [dict(x=g.x, y=g.y, pos=g.pos, senders=g.senders, receivers=g.receivers,
+                edge_attr=g.edge_attr, global_ids=g.global_node_ids) for g in subs]
+    t0 = time.perf_counter()
+    (_, order, batch), = pad_and_bucket(raw)
+    chunks = []
+    for s in range(0, batch.x.shape[0], args.chunk):
+        sl = slice(s, s + args.chunk)
+        chunks.append(jax.tree_util.tree_map(lambda a: a[sl], batch))
+    t_pad = time.perf_counter() - t0
+    print(f"pad/bucket: {batch.x.shape} ({t_pad:.1f}s)")
+
+    model = KernelNN(width=args.width, ker_width=args.width, depth=5, ker_in=1,
+                     in_width=4, out_width=4)
+    params = model.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(params, chunk):
+        b, n = chunk.x.shape[0], chunk.x.shape[1]
+        merged, _ = merge_batch(chunk)
+        out = model.apply(params, merged.x, merged.senders, merged.receivers,
+                          merged.edge_attr, edge_mask=merged.edge_mask)
+        return out.reshape(b, n, -1)
+
+    # warm compile on the first chunk shape
+    step(params, chunks[0]).block_until_ready()
+    t0 = time.perf_counter()
+    outs = []
+    for chunk in prefetch_to_device(iter(chunks), size=2):
+        outs.append(step(params, chunk))
+    jax.block_until_ready(outs)
+    t_infer = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    preds = []
+    for i, out in enumerate(np.concatenate([np.asarray(o) for o in outs])):
+        orig = raw[order[i]]
+        preds.append(out[: orig["x"].shape[0]])
+    recon = overlap_average(preds, [raw[order[i]]["global_ids"]
+                                    for i in range(len(preds))],
+                            len(mesh.points))
+    t_recon = time.perf_counter() - t0
+
+    total_nodes = len(mesh.points)
+    print(f"inference: {t_infer:.2f}s  ({total_nodes / t_infer:,.0f} nodes/s)")
+    print(f"reconstruction: {t_recon:.2f}s")
+    print(f"end-to-end (part+infer+recon): "
+          f"{total_nodes / (t_part + t_infer + t_recon):,.0f} nodes/s")
+    assert np.isfinite(recon).all()
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,19 @@ def normalize_fields(velocity: np.ndarray, pressure: np.ndarray,
     return v.astype(np.float32), p.astype(np.float32)
 
 
+def get_graph_boundary_edges(edges: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Nodes with a single incident edge (GenericGraphDataset.get_graph_boundary_edges,
+    GraphDataset.py:165-178: ``where(adj.sum(dim=0) == 1)``).
+
+    The reference's "boundary edges" are really degree-1 *column* indices of
+    the dense adjacency; reproduced as stated (its only caller is the
+    commented-out BC block at :130-158).  For geometric boundary extraction
+    use physics/wss.extract_boundary_faces instead.
+    """
+    deg = np.bincount(edges[:, 1], minlength=num_nodes)
+    return np.where(deg == 1)[0]
+
+
 def wall_node_indices(wall_cells) -> np.ndarray:
     """Unique node ids appearing in wall surface cells (GraphDataset.py:931-940)."""
     if isinstance(wall_cells, np.ndarray) and wall_cells.ndim == 2:

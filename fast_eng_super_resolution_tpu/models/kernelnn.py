@@ -35,6 +35,9 @@ class KernelNN:
     in_width: int = 3
     out_width: int = 3
     mode: str = "auto"  # auto -> best for backend; or factored | edge | pallas
+    remat: bool = True  # jax.checkpoint each conv layer: the backward would
+    # otherwise keep every layer's [E, w^2] per-edge matrices live (~4 GB per
+    # layer at 435k edges, w=48 — OOMs a 16 GB v5e); recompute instead
 
     def init(self, key) -> dict:
         w = self.width
@@ -65,6 +68,8 @@ class KernelNN:
             )
             return jax.nn.relu(h), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, None, length=self.depth)
         return linear(params["fc2"], h)
 

@@ -39,6 +39,7 @@ class TEECNet:
     num_layers: int = 4
     in_edge: int = 1
     mode: str = "auto"  # auto -> best for backend; or factored | edge | pallas
+    remat: bool = True  # checkpoint each conv layer (see kernelnn.py note)
     kernel_type: str = "dense"  # 'dense' (DenseNet op kernel) | 'powerseries'
     num_powers: int = 3
     ps_layers: int = 3
@@ -100,6 +101,8 @@ class TEECNet:
             )
             return h, None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, None, length=self.num_layers)
         return linear(params["fc_out"], h)
 
