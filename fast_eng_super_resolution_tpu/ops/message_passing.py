@@ -112,6 +112,16 @@ def edge_conditioned_conv(
     hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)  # [E, K]
 
     if mode == "edge":
+        # Per-edge matrices kept 2D [E, c_in*c_out]: reshaping to
+        # [E, c_in, c_out] makes XLA:TPU pad the 48-wide lane dim to 128
+        # (2.7x HBM expansion, enough to OOM training at ~400k edges).  The
+        # contraction is unrolled as c_in slice-MACs over 2D tiles instead.
+        w_e = hidden @ w3 + b3
+        xs = x[senders]
+        msg = xs[:, 0:1] * w_e[:, 0:c_out]
+        for a in range(1, c_in):
+            msg = msg + xs[:, a:a + 1] * w_e[:, a * c_out:(a + 1) * c_out]
+    elif mode == "edge3d":
         w_e = (hidden @ w3 + b3).reshape(-1, c_in, c_out)
         msg = jnp.einsum("ei,eio->eo", x[senders], w_e)
     elif mode == "pallas":
