@@ -273,6 +273,18 @@ class PartitionScheduler:
         stacked = stack_params(self.params_list) if self.num_partitions > 1 else None
         routed = make_routed_apply(self.model) if self.num_partitions > 1 else None
 
+        # inference-only: the 3D-einsum edge form is 2.6x faster than the
+        # memory-slim 2D form and its padded transient is fine forward-only
+        import dataclasses as _dc
+
+        infer_model = self.model
+        if getattr(self.model, "mode", None) == "auto":
+            try:
+                if jax.default_backend() == "tpu":
+                    infer_model = _dc.replace(self.model, mode="edge3d")
+            except Exception:
+                pass
+
         def single_expert(params, batch):
             # merged block-diagonal layout: one scatter pass for the whole
             # batch — measured 1.5x over the vmapped path (core/graph.py)
@@ -280,9 +292,9 @@ class PartitionScheduler:
 
             b, n = batch.x.shape[0], batch.x.shape[1]
             merged, _ = merge_batch(batch)
-            out = self.model.apply(params, merged.x, merged.senders,
-                                   merged.receivers, merged.edge_attr,
-                                   edge_mask=merged.edge_mask)
+            out = infer_model.apply(params, merged.x, merged.senders,
+                                    merged.receivers, merged.edge_attr,
+                                    edge_mask=merged.edge_mask)
             return out.reshape(b, n, -1)
 
         trainer_like = jax.jit(single_expert)
