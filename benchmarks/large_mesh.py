@@ -30,7 +30,7 @@ def main():
     parser.add_argument("--nodes", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=48)
     parser.add_argument("--subdomains", type=int, default=64)
-    parser.add_argument("--chunk", type=int, default=8,
+    parser.add_argument("--chunk", type=int, default=2,
                         help="subdomains per device step")
     args = parser.parse_args()
 
@@ -88,22 +88,29 @@ def main():
         return out.reshape(b, n, -1)
 
     # warm compile on the first chunk shape
+    import jax.numpy as jnp
+
     step(params, chunks[0]).block_until_ready()
     t0 = time.perf_counter()
     outs = []
     for chunk in prefetch_to_device(iter(chunks), size=2):
         outs.append(step(params, chunk))
-    jax.block_until_ready(outs)
+    # force execution: a device-side checksum pulled to host (the axon relay's
+    # block_until_ready acks before execution completes)
+    checksum = float(sum(jnp.sum(o) for o in outs))
     t_infer = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+
+    # device-side overlap averaging: one segment-sum over all padded nodes,
+    # transfer only the final [num_nodes, C] field
+    from fast_eng_super_resolution_tpu.data.reconstruct import make_overlap_average_device
 
     t0 = time.perf_counter()
-    preds = []
-    for i, out in enumerate(np.concatenate([np.asarray(o) for o in outs])):
-        orig = raw[order[i]]
-        preds.append(out[: orig["x"].shape[0]])
-    recon = overlap_average(preds, [raw[order[i]]["global_ids"]
-                                    for i in range(len(preds))],
-                            len(mesh.points))
+    preds_flat = jnp.concatenate([o.reshape(-1, o.shape[-1]) for o in outs])
+    gids = jnp.maximum(batch.global_ids.reshape(-1), 0).astype(jnp.int32)
+    weights = batch.node_mask.reshape(-1).astype(jnp.float32)
+    recon_fn = make_overlap_average_device(len(mesh.points))
+    recon = np.asarray(recon_fn(preds_flat, gids, weights))
     t_recon = time.perf_counter() - t0
 
     total_nodes = len(mesh.points)

@@ -40,10 +40,15 @@ Mode = Literal["auto", "factored", "edge", "pallas"]
 def resolve_mode(mode: str) -> str:
     """'auto' -> best measured mode for the current backend.
 
-    Measured on v5e (35k-node duct batch, width 48): edge 126 ms/fwd,
-    pallas 133 ms, factored 376 ms (the [E, K, C] gather of node-side
-    precomputes dominates).  On CPU the factored form wins (no
-    gather penalty, smaller GEMMs).
+    Measured on v5e (duct batches, width 48): edge3d (per-edge matrices via
+    one GEMM + batched einsum) is the fast form — 86 ms/fwd merged at 516k
+    edges; its 2.7x lane-padded transient is handled by jax.checkpoint in the
+    models' depth loops (training) and by chunking (inference).  The 2D
+    slice-MAC 'edge' form avoids the padding but its strided 48-lane slices
+    re-read full 128-lane tiles — catastrophic at scale (1.3k nodes/s at 9M
+    edges vs 311k) — and its backward hangs the remote Mosaic compiler; kept
+    for experiments only.  'factored' loses to its [E, K, C] gather on TPU
+    but wins on CPU (no gather penalty, smaller GEMMs).
     """
     if mode != "auto":
         return mode
@@ -51,7 +56,7 @@ def resolve_mode(mode: str) -> str:
         backend = jax.default_backend()
     except Exception:
         backend = "cpu"
-    return "edge" if backend == "tpu" else "factored"
+    return "edge3d" if backend == "tpu" else "factored"
 
 
 def apply_edge_mlp_hidden(params: list[dict], e: jnp.ndarray, activation) -> jnp.ndarray:
