@@ -312,9 +312,29 @@ class PartitionScheduler:
 
         if self.num_partitions > 1:
             preds = routed(stacked, lab, batch)
+            preds = np.asarray(preds)[:real_b]
         else:
-            preds = trainer_like(self.params_list[0], batch)
-        preds = np.asarray(preds)[:real_b]
+            # chunk to bound the per-edge transient (~24 KB/edge at w=48 with
+            # the lane-padded edge3d form); one compile per chunk shape
+            e_budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
+            e_per_graph = batch.senders.shape[1]
+            chunk_b = max(1, min(batch.x.shape[0], e_budget // max(e_per_graph, 1)))
+            outs = []
+            b_total = batch.x.shape[0]
+            start = 0
+            while start < b_total:
+                end = min(start + chunk_b, b_total)
+                if end - start < chunk_b and start > 0:
+                    start = b_total - chunk_b  # reuse the compiled chunk shape
+                    end = b_total
+                chunk = jax.tree_util.tree_map(lambda a: a[start:end], batch)
+                outs.append((start, np.asarray(
+                    trainer_like(self.params_list[0], chunk))))
+                start = end
+            preds = np.zeros((b_total,) + outs[0][1].shape[1:], np.float32)
+            for s, o in outs:
+                preds[s:s + o.shape[0]] = o
+            preds = preds[:real_b]
 
         # node weights (scheduler_gnn.py:222-226) — vectorized over the batch
         weight_fn = jax.jit(jax.vmap(
