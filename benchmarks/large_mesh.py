@@ -42,8 +42,6 @@ def main():
 
     from fast_eng_super_resolution_tpu.core.graph import merge_batch, pad_and_bucket
     from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
-    from fast_eng_super_resolution_tpu.data.pipeline import prefetch_to_device
-    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
     from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
 
@@ -79,25 +77,31 @@ def main():
                      in_width=4, out_width=4)
     params = model.init(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def step(params, chunk):
-        b, n = chunk.x.shape[0], chunk.x.shape[1]
-        merged, _ = merge_batch(chunk)
-        out = model.apply(params, merged.x, merged.senders, merged.receivers,
-                          merged.edge_attr, edge_mask=merged.edge_mask)
-        return out.reshape(b, n, -1)
-
-    # warm compile on the first chunk shape
     import jax.numpy as jnp
 
-    step(params, chunks[0]).block_until_ready()
+    # all chunks in ONE program: lax.map keeps the per-chunk transient bounded
+    # while avoiding per-chunk dispatch (a round trip per chunk dominates over
+    # the axon tunnel; one dispatch is also the right shape for real pods)
+    n_chunks = len(chunks)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *chunks)
+
+    @jax.jit
+    def run_all(params, stacked):
+        def one(chunk):
+            b, n = chunk.x.shape[0], chunk.x.shape[1]
+            merged, _ = merge_batch(chunk)
+            out = model.apply(params, merged.x, merged.senders, merged.receivers,
+                              merged.edge_attr, edge_mask=merged.edge_mask)
+            return out.reshape(b, n, -1)
+
+        return jax.lax.map(one, stacked)
+
+    out = run_all(params, stacked)  # warm compile
+    float(jnp.sum(out))
     t0 = time.perf_counter()
-    outs = []
-    for chunk in prefetch_to_device(iter(chunks), size=2):
-        outs.append(step(params, chunk))
-    # force execution: a device-side checksum pulled to host (the axon relay's
-    # block_until_ready acks before execution completes)
-    checksum = float(sum(jnp.sum(o) for o in outs))
+    out = run_all(params, stacked)
+    checksum = float(jnp.sum(out))  # forces execution through the relay
     t_infer = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
@@ -106,7 +110,7 @@ def main():
     from fast_eng_super_resolution_tpu.data.reconstruct import make_overlap_average_device
 
     t0 = time.perf_counter()
-    preds_flat = jnp.concatenate([o.reshape(-1, o.shape[-1]) for o in outs])
+    preds_flat = out.reshape(-1, out.shape[-1])
     gids = jnp.maximum(batch.global_ids.reshape(-1), 0).astype(jnp.int32)
     weights = batch.node_mask.reshape(-1).astype(jnp.float32)
     recon_fn = make_overlap_average_device(len(mesh.points))
