@@ -1,0 +1,58 @@
+"""core/graph unit tests: padding, bucketing, merging."""
+
+import numpy as np
+
+from conftest import make_random_graph
+
+
+def test_pad_and_bucket_nonuniform(rng):
+    from fast_eng_super_resolution_tpu.core.graph import BucketSpec, pad_and_bucket
+
+    gs = [make_random_graph(rng, n=n, e=e) for n, e in
+          ((50, 200), (60, 250), (400, 2000), (420, 2100))]
+    raw = [dict(x=g["x"], y=g["y"], pos=g["pos"], senders=g["senders"],
+                receivers=g["receivers"], edge_attr=g["edge_attr"]) for g in gs]
+    spec = BucketSpec(node_multiple=64, edge_multiple=256, min_nodes=64, min_edges=256)
+
+    buckets = pad_and_bucket(raw, spec, uniform=False)
+    assert 2 <= len(buckets) <= 3  # small pair shares a bucket; big ones split
+    covered = sorted(i for _, idxs, _ in buckets for i in idxs)
+    assert covered == [0, 1, 2, 3]
+    for (n_pad, e_pad), idxs, batch in buckets:
+        assert batch.x.shape == (len(idxs), n_pad, 4)
+        assert batch.senders.shape == (len(idxs), e_pad)
+        assert n_pad % 64 == 0 and e_pad % 256 == 0
+
+    single = pad_and_bucket(raw, spec, uniform=True)
+    assert len(single) == 1
+
+
+def test_merge_batch_block_diagonal(rng):
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.core.graph import (merge_batch,
+                                                          pad_and_bucket)
+
+    gs = [make_random_graph(rng, n=30, e=100) for _ in range(3)]
+    raw = [dict(x=g["x"], y=g["y"], pos=g["pos"], senders=g["senders"],
+                receivers=g["receivers"], edge_attr=g["edge_attr"]) for g in gs]
+    (_, _, batch), = pad_and_bucket(raw)
+    merged, graph_ids = merge_batch(batch)
+    b, n = batch.x.shape[0], batch.x.shape[1]
+    assert merged.x.shape == (b * n, 4)
+    assert graph_ids.shape == (b * n,)
+    # edges stay within their graph's node range (block-diagonal)
+    s = np.asarray(merged.senders)
+    gid_of_edge = np.repeat(np.arange(b), batch.senders.shape[1])
+    assert ((s >= gid_of_edge * n) & (s < (gid_of_edge + 1) * n)).all()
+    # masked-out padding preserved
+    assert int(merged.node_mask.sum()) == int(batch.node_mask.sum())
+
+
+def test_resolve_mode():
+    from fast_eng_super_resolution_tpu.ops.message_passing import resolve_mode
+
+    assert resolve_mode("edge") == "edge"
+    assert resolve_mode("factored") == "factored"
+    # on the CPU test backend, auto -> factored
+    assert resolve_mode("auto") == "factored"
