@@ -123,17 +123,23 @@ def pad_graph(
     em[:e] = True
     gi = np.full((n_pad,), -1, np.int32)
     gi[:n] = np.arange(n, dtype=np.int32) if global_ids is None else global_ids
-    return Graph(
-        x=jnp.asarray(xp), y=jnp.asarray(yp), pos=jnp.asarray(pp),
-        senders=jnp.asarray(sp), receivers=jnp.asarray(rp),
-        edge_attr=jnp.asarray(ap), node_mask=jnp.asarray(nm),
-        edge_mask=jnp.asarray(em), global_ids=jnp.asarray(gi),
-    )
+    # host (numpy) leaves: one device transfer happens when the batch is
+    # stacked / fed to jit — per-graph jnp.asarray here would cost a tunnel
+    # round trip PER ARRAY (measured 24 s for 64 subdomains on axon)
+    return Graph(x=xp, y=yp, pos=pp, senders=sp, receivers=rp, edge_attr=ap,
+                 node_mask=nm, edge_mask=em, global_ids=gi)
 
 
-def stack_graphs(graphs: Sequence[Graph]) -> GraphBatch:
-    """Stacks equally-padded Graphs into a GraphBatch with a leading [B] axis."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+def stack_graphs(graphs: Sequence[Graph], to_device: bool = True) -> GraphBatch:
+    """Stacks equally-padded Graphs into a GraphBatch with a leading [B] axis.
+
+    Stacking happens in numpy; to_device transfers each stacked leaf once.
+    """
+    batch = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *graphs)
+    if to_device:
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    return batch
 
 
 def merge_batch(batch: GraphBatch) -> Graph:

@@ -114,17 +114,19 @@ def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
 
 def extract_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
                        y: np.ndarray, num_parts: int,
-                       mode: str = "all_intersecting") -> list[Subdomain]:
+                       mode: str = "all_intersecting",
+                       num_workers: int | None = None) -> list[Subdomain]:
     """Full decomposition: RCB assign -> per-partition local graphs.
 
     Mirrors the reference's per-partition h5 payload (GraphDataset.py:1276-1284):
-    x, y, pos, edge_index, edge_attr, global_node_ids.
+    x, y, pos, edge_index, edge_attr, global_node_ids.  Per-partition
+    extraction is threaded: the hot part (edge extraction) runs in the native
+    library, which releases the GIL across the ctypes call.
     """
     cell_lists, _ = assign_cells(points, cells, num_parts, mode)
-    subs = []
-    for cell_ids in cell_lists:
-        if len(cell_ids) == 0:
-            continue
+    cell_lists = [c for c in cell_lists if len(c)]
+
+    def extract(cell_ids):
         sub_cells = cells[cell_ids]
         gids = np.unique(sub_cells)
         local = np.full(points.shape[0], -1, np.int64)
@@ -132,15 +134,22 @@ def extract_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
         local_cells = local[sub_cells]
         edges = cells_to_edges(local_cells)
         pos = points[gids]
-        subs.append(Subdomain(
+        return Subdomain(
             x=x[gids].astype(np.float32), y=y[gids].astype(np.float32),
             pos=pos.astype(np.float32),
             senders=edges[:, 0], receivers=edges[:, 1],
             edge_attr=edge_lengths(pos, edges),
             global_node_ids=gids.astype(np.int64),
             cell_ids=np.asarray(cell_ids, np.int64),
-        ))
-    return subs
+        )
+
+    if num_workers == 1 or len(cell_lists) <= 1:
+        return [extract(c) for c in cell_lists]
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = num_workers or min(8, len(cell_lists))
+    with ThreadPoolExecutor(workers) as pool:
+        return list(pool.map(extract, cell_lists))
 
 
 def uniform_box_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
