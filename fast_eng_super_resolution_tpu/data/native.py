@@ -107,4 +107,4 @@ def box_intersect_native(cell_lo: np.ndarray, cell_hi: np.ndarray,
         hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(lo),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), p,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    return out.astype(bool)
+    return out.view(bool)  # uint8 0/1 reinterpreted in place (no copy)

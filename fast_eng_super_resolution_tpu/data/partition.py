@@ -91,7 +91,8 @@ def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
     """Returns per-partition cell-index lists under the requested boundary mode."""
     from .native import rcb_assign_native
 
-    centroids = points[cells].mean(axis=1)
+    pts_at_cells = points[cells]  # one gather reused for centroid + bbox
+    centroids = pts_at_cells.mean(axis=1)
     native = rcb_assign_native(centroids, num_parts)
     if native is not None:
         assignment, boxes = native
@@ -102,8 +103,13 @@ def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
 
     if mode != "all_intersecting":
         raise ValueError(f"unknown boundary mode: {mode}")
-    cell_lo = points[cells].min(axis=1)
-    cell_hi = points[cells].max(axis=1)
+    cell_lo = pts_at_cells.min(axis=1)
+    cell_hi = pts_at_cells.max(axis=1)
+    from .native import box_intersect_native
+
+    member = box_intersect_native(cell_lo, cell_hi, boxes)  # threaded C++
+    if member is not None:
+        return [np.nonzero(member[:, p])[0] for p in range(num_parts)], boxes
     out = []
     for p in range(num_parts):
         blo, bhi = boxes[p]
