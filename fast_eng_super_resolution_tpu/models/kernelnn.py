@@ -9,8 +9,8 @@ logs/models/collection_duct_neuralop/partition_0.pth (width=43, in/out=4).
 
 TPU design: static config lives on a frozen dataclass (hashable, jit-static);
 params are a pure pytree of arrays (vmap-stackable for expert dispatch).  The
-shared-weight depth loop is a ``lax.scan``; the conv uses the MXU-factored
-edge-conditioned convolution (ops/message_passing.py).
+shared-weight depth loop is a ``lax.scan`` with per-layer rematerialization;
+the conv mode is selected per backend (ops/message_passing.resolve_mode).
 """
 
 from __future__ import annotations

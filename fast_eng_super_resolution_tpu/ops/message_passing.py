@@ -7,22 +7,22 @@ model.py:421-445):
     m_e  = x_sender(e) @ W_e                                  # per-edge bmm
     out_i = mean_{e: receiver(e)=i} m_e + x_i @ root + bias
 
-The per-edge form costs ``E * (K * C_in * C_out)`` MACs in the edge MLP's final
-layer alone (K = last hidden width).  On tetrahedral CFD meshes E is ~10-15x N,
-so we restructure the *same* computation to put the dominant contraction on the
-node axis (the "factored" mode, default):
+Several mathematically identical formulations exist with very different
+hardware behavior; ``mode`` selects one and 'auto' picks per backend (see
+``resolve_mode`` for the measured numbers):
 
-    EdgeMLP(e) = hidden(e) @ W3 + b3,    hidden: [E, K]
-    m_e = sum_k hidden_e[k] * (x_s @ M3_k) + x_s @ B3
-        with M3 = W3.reshape(K, C_in, C_out), B3 = b3.reshape(C_in, C_out)
-
-    U = einsum('ni,kio->nko', x, M3)     # [N, K, C_out]  — dense MXU matmul
-    m_e = einsum('ek,eko->eo', hidden_e, U[senders]) + (x @ B3)[senders]
-
-This is bit-for-bit the reference operator (associativity only), but the
-``K*C_in*C_out`` matmul now runs N times instead of E times and maps onto the
-MXU as one big [N, C_in] x [C_in, K*C_out] GEMM.  The remaining per-edge work
-is a K-length dot — VPU-friendly — plus gather/segment-sum.
+- 'edge3d' (TPU default): one [E, K] @ [K, C_in*C_out] MXU GEMM producing the
+  per-edge matrices, then a batched einsum contraction.  Fastest measured; its
+  [E, C_in, C_out] transient is lane-padded 2.7x by XLA:TPU, so the models
+  wrap their depth loops in jax.checkpoint for training.
+- 'edge': the same GEMM but the contraction unrolled as 2D slice-MACs.  No
+  padding, but strided sub-tile reads make it collapse at large E; kept for
+  experiments.
+- 'factored' (CPU default): pushes the dominant contraction to the node axis,
+  U = einsum('ni,kio->nko', x, M3);  m_e = einsum('ek,eko->eo', h_e, U[src]).
+  Same FLOPs run N times instead of E times (E ~ 10-15x N on tet meshes), but
+  on TPU the [E, K, C_out] gather of U dominates and loses.
+- 'pallas': fused VMEM-resident kernel (ops/pallas_mp.py), opt-in.
 """
 
 from __future__ import annotations

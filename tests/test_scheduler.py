@@ -150,3 +150,18 @@ def test_teecnet_and_graphsage_train_through_scheduler(synth, tmp_path_factory):
         x = synth.get_one_full_sample(0)
         pred, ref, midx, w = sched.predict(x)
         assert all(np.isfinite(p).all() for p in pred)
+
+
+def test_chunked_predict_bit_exact(trained, synth, monkeypatch):
+    """Memory-bounded chunked prediction == single-shot, including the
+    remainder-overlap branch (compile-shape reuse)."""
+    sched, model, _ = trained
+    x = synth.get_one_full_sample(0)
+
+    monkeypatch.setenv("FESR_PREDICT_EDGE_BUDGET", "100000000")
+    base, _, _, _ = sched.predict(x)
+    for budget in ("1", "40000"):  # 1 -> chunk_b=1; 40000 -> partial chunks
+        monkeypatch.setenv("FESR_PREDICT_EDGE_BUDGET", budget)
+        got, _, _, _ = sched.predict(x)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(a, b)
