@@ -56,15 +56,22 @@ class KernelNN:
               receivers: jnp.ndarray, edge_attr: jnp.ndarray,
               edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         """Forward pass for one (padded) graph. x: [N, C_in] -> [N, C_out]."""
+        from ..ops.message_passing import precompute_edge_kernel
+
         conv = params["conv"]
         h = linear(params["fc1"], x)
+        # conv weights are shared across depth (model.py:558-559), so the
+        # per-edge kernel matrices are loop-invariant: compute once, not
+        # depth times (cuts the dominant GEMM and its HBM writes by 5x)
+        pre = precompute_edge_kernel(conv["edge_mlp"], edge_attr,
+                                     jax.nn.relu, self.mode)
 
         def body(h, _):
             h = edge_conditioned_conv(
                 h, senders, receivers, edge_attr,
                 edge_mlp=conv["edge_mlp"], root=conv["root"], bias=conv["bias"],
                 edge_mask=edge_mask, activation=jax.nn.relu, aggr="mean",
-                mode=self.mode,
+                mode=self.mode, precomputed=pre,
             )
             return jax.nn.relu(h), None
 

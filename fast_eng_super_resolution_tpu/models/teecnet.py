@@ -92,12 +92,19 @@ class TEECNet:
             h, _ = jax.lax.scan(body, h, None, length=self.num_layers)
             return linear(params["fc_out"], h)
 
+        from ..ops.message_passing import precompute_edge_kernel
+
+        # shared KernelConv across layers (model.py:280-282): the per-edge
+        # operator matrices are loop-invariant — compute once
+        pre = precompute_edge_kernel(kern["edge_mlp"], edge_attr,
+                                     _leaky_relu, self.mode)
+
         def body(h, _):
             h = edge_conditioned_conv(
                 linear(kern["linear"], h), senders, receivers, edge_attr,
                 edge_mlp=kern["edge_mlp"], root=kern["root"], bias=kern["bias"],
                 edge_mask=edge_mask, activation=_leaky_relu, aggr="mean",
-                mode=self.mode, root_input=h,
+                mode=self.mode, root_input=h, precomputed=pre,
             )
             return h, None
 

@@ -73,6 +73,29 @@ def apply_edge_mlp_hidden(params: list[dict], e: jnp.ndarray, activation) -> jnp
     return h
 
 
+def precompute_edge_kernel(
+    edge_mlp: list[dict],
+    edge_attr: jnp.ndarray,
+    activation=jax.nn.relu,
+    mode: Mode = "auto",
+):
+    """Hoists the edge-attr-only part of the conv out of shared-weight loops.
+
+    KernelNN/TEECNet apply ONE conv repeatedly (shared weights,
+    model.py:558-559, 280-282), and the per-edge kernel matrices depend only
+    on (params, edge_attr) — so they are identical across depth.  Computing
+    them once cuts the dominant GEMM FLOPs and the W_e HBM writes by the
+    depth factor.  Returns an opaque (mode, value) token for
+    ``edge_conditioned_conv(precomputed=...)``.
+    """
+    mode = resolve_mode(mode)
+    hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)
+    if mode in ("edge", "edge3d"):
+        w3, b3 = edge_mlp[-1]["w"], edge_mlp[-1]["b"]
+        return (mode, hidden @ w3 + b3)  # [E, c_in*c_out]
+    return (mode, hidden)
+
+
 def edge_conditioned_conv(
     x: jnp.ndarray,
     senders: jnp.ndarray,
@@ -86,6 +109,7 @@ def edge_conditioned_conv(
     aggr: str = "mean",
     mode: Mode = "factored",
     root_input: jnp.ndarray | None = None,
+    precomputed=None,
 ) -> jnp.ndarray:
     """One edge-conditioned convolution layer (single graph, static shapes).
 
@@ -114,21 +138,35 @@ def edge_conditioned_conv(
     k = w3.shape[0]
     c_in = x.shape[1]
     c_out = w3.shape[1] // c_in
-    hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)  # [E, K]
+
+    w_e_flat = None
+    hidden = None
+    if precomputed is not None:
+        pre_mode, value = precomputed
+        if pre_mode != mode:
+            raise ValueError(f"precomputed kernel for mode {pre_mode}, got {mode}")
+        if mode in ("edge", "edge3d"):
+            w_e_flat = value
+        else:
+            hidden = value
+    if hidden is None and w_e_flat is None:
+        hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)  # [E, K]
+    if mode in ("edge", "edge3d") and w_e_flat is None:
+        w_e_flat = hidden @ w3 + b3
 
     if mode == "edge":
         # Per-edge matrices kept 2D [E, c_in*c_out]: reshaping to
         # [E, c_in, c_out] makes XLA:TPU pad the 48-wide lane dim to 128
-        # (2.7x HBM expansion, enough to OOM training at ~400k edges).  The
-        # contraction is unrolled as c_in slice-MACs over 2D tiles instead.
-        w_e = hidden @ w3 + b3
+        # (2.7x HBM expansion).  The contraction is unrolled as c_in
+        # slice-MACs over 2D tiles — experiments only (strided sub-tile reads
+        # collapse at large E, see resolve_mode).
         xs = x[senders]
-        msg = xs[:, 0:1] * w_e[:, 0:c_out]
+        msg = xs[:, 0:1] * w_e_flat[:, 0:c_out]
         for a in range(1, c_in):
-            msg = msg + xs[:, a:a + 1] * w_e[:, a * c_out:(a + 1) * c_out]
+            msg = msg + xs[:, a:a + 1] * w_e_flat[:, a * c_out:(a + 1) * c_out]
     elif mode == "edge3d":
-        w_e = (hidden @ w3 + b3).reshape(-1, c_in, c_out)
-        msg = jnp.einsum("ei,eio->eo", x[senders], w_e)
+        msg = jnp.einsum("ei,eio->eo", x[senders],
+                         w_e_flat.reshape(-1, c_in, c_out))
     elif mode == "pallas":
         from .pallas_mp import fused_edge_messages
 
