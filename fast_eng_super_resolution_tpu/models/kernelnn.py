@@ -38,6 +38,8 @@ class KernelNN:
     remat: bool = True  # jax.checkpoint each conv layer: the backward would
     # otherwise keep every layer's [E, w^2] per-edge matrices live (~4 GB per
     # layer at 435k edges, w=48 — OOMs a 16 GB v5e); recompute instead
+    kernel_dtype: str | None = None  # 'bfloat16' stores the precomputed
+    # per-edge matrices half-size (f32 accumulation) — ~5e-3 rel error, opt-in
 
     def init(self, key) -> dict:
         w = self.width
@@ -63,8 +65,9 @@ class KernelNN:
         # conv weights are shared across depth (model.py:558-559), so the
         # per-edge kernel matrices are loop-invariant: compute once, not
         # depth times (cuts the dominant GEMM and its HBM writes by 5x)
+        kdtype = jnp.dtype(self.kernel_dtype) if self.kernel_dtype else None
         pre = precompute_edge_kernel(conv["edge_mlp"], edge_attr,
-                                     jax.nn.relu, self.mode)
+                                     jax.nn.relu, self.mode, kdtype)
 
         def body(h, _):
             h = edge_conditioned_conv(

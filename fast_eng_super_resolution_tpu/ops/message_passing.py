@@ -78,6 +78,7 @@ def precompute_edge_kernel(
     edge_attr: jnp.ndarray,
     activation=jax.nn.relu,
     mode: Mode = "auto",
+    kernel_dtype=None,
 ):
     """Hoists the edge-attr-only part of the conv out of shared-weight loops.
 
@@ -92,7 +93,12 @@ def precompute_edge_kernel(
     hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)
     if mode in ("edge", "edge3d"):
         w3, b3 = edge_mlp[-1]["w"], edge_mlp[-1]["b"]
-        return (mode, hidden @ w3 + b3)  # [E, c_in*c_out]
+        w_e = hidden @ w3 + b3  # [E, c_in*c_out]
+        if kernel_dtype is not None:
+            # storing W_e in bf16 halves the dominant per-layer HBM reads;
+            # the contraction still accumulates in f32
+            w_e = w_e.astype(kernel_dtype)
+        return (mode, w_e)
     return (mode, hidden)
 
 
@@ -165,8 +171,9 @@ def edge_conditioned_conv(
         for a in range(1, c_in):
             msg = msg + xs[:, a:a + 1] * w_e_flat[:, a * c_out:(a + 1) * c_out]
     elif mode == "edge3d":
-        msg = jnp.einsum("ei,eio->eo", x[senders],
-                         w_e_flat.reshape(-1, c_in, c_out))
+        msg = jnp.einsum("ei,eio->eo", x[senders].astype(w_e_flat.dtype),
+                         w_e_flat.reshape(-1, c_in, c_out),
+                         preferred_element_type=jnp.float32)
     elif mode == "pallas":
         from .pallas_mp import fused_edge_messages
 
