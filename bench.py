@@ -54,11 +54,11 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
 
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
 
-    # edge3d: fastest inference form; bf16 kernel storage halves the dominant
-    # per-layer W_e reads (rel err ~1e-3, f32 accumulation)
+    # edge3d f32: fastest measured (352k nodes/s).  bf16 kernel storage was
+    # tried and is SLOWER here (240k) — the bf16 batched-contraction lowering
+    # loses more than the halved reads gain on this toolchain.
     model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
-                     in_width=4, out_width=4, mode="edge3d",
-                     kernel_dtype="bfloat16")
+                     in_width=4, out_width=4, mode="edge3d")
     params = model.init(jax.random.PRNGKey(0))
 
     from fast_eng_super_resolution_tpu.core.graph import merge_batch
