@@ -58,6 +58,13 @@ class PartitionScheduler:
         if not train:
             self.params_list = self._load_models()
 
+    def get_sub_dataset(self):
+        """Per-cluster dataset views (GNNPartitionScheduler.get_sub_dataset,
+        scheduler_gnn.py:39-40)."""
+        from ..data.subsets import Subset
+
+        return [Subset(self.dataset, idx) for idx in self.subset_indices]
+
     # -- paths -----------------------------------------------------------
     def collection_dir(self) -> str:
         return os.path.join(self.log_dir, "models", f"collection_{self.name}")
