@@ -125,3 +125,44 @@ def test_bench_json_contract(workdir):
     rec = json.loads(line)
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0
+
+
+def test_cli_routed_experts(workdir, exp_config):
+    """run_ALDS_3D with n_clusters=2: encoder+classifier routing via CLI."""
+    _, train = exp_config  # fixture also writes train.yaml into workdir
+    exp = os.path.join(workdir, "exp_routed.yaml")
+    with open(exp, "w") as f:
+        f.write(f"""
+n_clusters: 2
+save_mode: 'save_png'
+n_components: 2
+domain_size: 0.03
+in_channels: 4
+out_channels: 4
+width: 10
+num_powers: 3
+retrieve_weight: False
+num_layers: 2
+root: '{workdir}/data'
+partition: True
+sub_size: 4
+idxs: [1]
+""")
+    r = _run(["run_ALDS_3D.py", "--mode=train", "--model=neuralop",
+              "--dataset=synthetic", "--encoder=pca", "--classifier=kmeans",
+              "--exp_name=cli_routed", f"--exp_config={exp}",
+              f"--train_config={train}"], cwd=workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Partition 0:" in r.stdout and "Partition 1:" in r.stdout
+    coll = os.path.join(workdir, "logs", "models", "collection_cli_routed")
+    assert os.path.exists(os.path.join(coll, "partition_1.npz"))
+    assert os.path.exists(os.path.join(coll, "pca_encoder.joblib"))
+    assert os.path.exists(os.path.join(coll, "kmeans_classifier.joblib"))
+
+    r = _run(["run_ALDS_3D.py", "--mode=pred", "--model=neuralop",
+              "--dataset=synthetic", "--encoder=pca", "--classifier=kmeans",
+              "--exp_name=cli_routed", f"--exp_config={exp}",
+              f"--train_config={train}"], cwd=workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(workdir, "logs", "vtk", "cli_routed",
+                                       "pred_1.vtu"))
