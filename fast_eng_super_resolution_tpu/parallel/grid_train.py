@@ -1,0 +1,68 @@
+"""Dense-tensor trainer for the grid model family (FNO2d, DeepONet).
+
+The reference never shipped its FNO/JHTDB training loop (MatDataset is a
+subset view only; training was out-of-repo, SURVEY §4).  This provides the
+in-framework path: jit MSE step over [B, H, W, C] batches, optionally sharded
+on a data-axis mesh like the graph trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass
+class GridTrainer:
+    model: object
+    lr: float
+    out_channels: int | None = None  # project model output to target width
+
+    def __post_init__(self):
+        self.optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
+
+        def predict(params, x):
+            out = self.model.apply(params["model"], x)
+            if "proj" in params:
+                out = out @ params["proj"]["w"] + params["proj"]["b"]
+            return out
+
+        def loss_fn(params, x, y):
+            return jnp.mean((predict(params, x) - y) ** 2)
+
+        def step(params, opt_state, x, y):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = jax.jit(step)
+        self._loss = jax.jit(loss_fn)
+        self._predict = jax.jit(predict)
+
+    def init(self, key, sample_x: np.ndarray):
+        k1, k2 = jax.random.split(key)
+        params = {"model": self.model.init(k1)}
+        if self.out_channels is not None:
+            out_dim = np.asarray(
+                self._probe_out(params["model"], sample_x)).shape[-1]
+            if out_dim != self.out_channels:
+                from ..models.common import linear_init
+
+                params["proj"] = linear_init(k2, out_dim, self.out_channels)
+        return params, self.optimizer.init(params)
+
+    def _probe_out(self, model_params, sample_x):
+        return self.model.apply(model_params, sample_x[:1])
+
+    def step(self, params, opt_state, x, y):
+        return self._step(params, opt_state, x, y)
+
+    def evaluate(self, params, x, y) -> float:
+        return float(self._loss(params, x, y))
+
+    def predict(self, params, x):
+        return self._predict(params, x)
