@@ -40,6 +40,7 @@ class KernelNN:
     # layer at 435k edges, w=48 — OOMs a 16 GB v5e); recompute instead
     kernel_dtype: str | None = None  # 'bfloat16' stores the precomputed
     # per-edge matrices half-size (f32 accumulation) — ~5e-3 rel error, opt-in
+    lut_knots: int = 512  # table size for mode='lut' (tabulated edge kernel)
 
     def init(self, key) -> dict:
         w = self.width
@@ -67,7 +68,8 @@ class KernelNN:
         # depth times (cuts the dominant GEMM and its HBM writes by 5x)
         kdtype = jnp.dtype(self.kernel_dtype) if self.kernel_dtype else None
         pre = precompute_edge_kernel(conv["edge_mlp"], edge_attr,
-                                     jax.nn.relu, self.mode, kdtype)
+                                     jax.nn.relu, self.mode, kdtype,
+                                     self.lut_knots)
 
         def body(h, _):
             h = edge_conditioned_conv(

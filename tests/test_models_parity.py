@@ -104,3 +104,30 @@ def test_padding_invariance(rng):
                     padded.edge_attr, edge_mask=padded.edge_mask)
     )
     np.testing.assert_allclose(out_pad[: g["x"].shape[0]], out_raw, rtol=1e-5, atol=1e-6)
+
+
+def test_lut_mode_approximates_reference_checkpoint(rng):
+    """Tabulated (LUT) kernel vs exact edge mode on the real trained weights:
+    the ReLU edge MLP of a scalar is piecewise linear, so a dense table is a
+    near-exact surrogate."""
+    from fast_eng_super_resolution_tpu.core.checkpoint import load_pth_state_dict
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    g = _graph(rng)
+    sd = load_pth_state_dict(NEURALOP_PTH)
+    exact = KernelNN(43, 43, 5, 1, 4, 4, mode="edge")
+    params = exact.import_pth(sd)
+    ref = np.asarray(exact.apply(params, g["x"], g["senders"], g["receivers"],
+                                 g["edge_attr"]))
+    lut = KernelNN(43, 43, 5, 1, 4, 4, mode="lut", lut_knots=512)
+    got = np.asarray(lut.apply(params, g["x"], g["senders"], g["receivers"],
+                               g["edge_attr"]))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-3, rel
+
+    # coarse table degrades gracefully
+    lut64 = KernelNN(43, 43, 5, 1, 4, 4, mode="lut", lut_knots=64)
+    got64 = np.asarray(lut64.apply(params, g["x"], g["senders"], g["receivers"],
+                                   g["edge_attr"]))
+    rel64 = np.linalg.norm(got64 - ref) / np.linalg.norm(ref)
+    assert rel < rel64 < 0.1, (rel, rel64)
