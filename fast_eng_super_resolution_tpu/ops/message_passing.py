@@ -25,11 +25,13 @@ hardware behavior; ``mode`` selects one and 'auto' picks per backend (see
 - 'pallas': fused VMEM-resident kernel (ops/pallas_mp.py), opt-in.
 - 'lut': tabulated kernel.  The edge MLP maps a SCALAR (edge length) to the
   w x w matrix, and a ReLU MLP of a scalar is piecewise linear — so sample it
-  at K knots once, precompute the node-side products U = x @ W_knot for every
-  knot (one dense MXU GEMM), and per edge gather just the TWO interpolation
-  endpoints: traffic drops from [E, w^2] to [E, 2, w] (~24x).  Exact wherever
-  no MLP kink falls between knots; globally within interpolation error
-  (~1e-4 rel at 512 knots on trained kernels).
+  at K knots once, precompute the node-side products for every knot (one
+  dense MXU GEMM), and per edge gather just the TWO interpolation endpoints:
+  traffic drops from [E, w^2] to [E, 2, w].  <2e-3 rel err at 512 knots on
+  the trained duct checkpoint.  Measured on the current v5e toolchain it
+  LOSES (446 vs 103 ms/fwd): XLA's small-row gathers cost more than the big
+  GEMM saves — same failure mode as 'factored'.  Niche: it avoids the
+  [E, w^2] transient entirely, so it is the memory-tightest inference mode.
 """
 
 from __future__ import annotations
