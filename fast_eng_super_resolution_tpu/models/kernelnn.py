@@ -70,13 +70,16 @@ class KernelNN:
         pre = precompute_edge_kernel(conv["edge_mlp"], edge_attr,
                                      jax.nn.relu, self.mode, kdtype,
                                      self.lut_knots)
+        from ..ops.segment import segment_degree
+
+        deg = segment_degree(receivers, x.shape[0], edge_mask)
 
         def body(h, _):
             h = edge_conditioned_conv(
                 h, senders, receivers, edge_attr,
                 edge_mlp=conv["edge_mlp"], root=conv["root"], bias=conv["bias"],
                 edge_mask=edge_mask, activation=jax.nn.relu, aggr="mean",
-                mode=self.mode, precomputed=pre,
+                mode=self.mode, precomputed=pre, degree=deg,
             )
             return jax.nn.relu(h), None
 

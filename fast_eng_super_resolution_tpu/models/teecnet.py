@@ -98,13 +98,16 @@ class TEECNet:
         # operator matrices are loop-invariant — compute once
         pre = precompute_edge_kernel(kern["edge_mlp"], edge_attr,
                                      _leaky_relu, self.mode)
+        from ..ops.segment import segment_degree
+
+        deg = segment_degree(receivers, x.shape[0], edge_mask)
 
         def body(h, _):
             h = edge_conditioned_conv(
                 linear(kern["linear"], h), senders, receivers, edge_attr,
                 edge_mlp=kern["edge_mlp"], root=kern["root"], bias=kern["bias"],
                 edge_mask=edge_mask, activation=_leaky_relu, aggr="mean",
-                mode=self.mode, root_input=h, precomputed=pre,
+                mode=self.mode, root_input=h, precomputed=pre, degree=deg,
             )
             return h, None
 

@@ -141,6 +141,7 @@ def edge_conditioned_conv(
     mode: Mode = "factored",
     root_input: jnp.ndarray | None = None,
     precomputed=None,
+    degree: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One edge-conditioned convolution layer (single graph, static shapes).
 
@@ -229,7 +230,7 @@ def edge_conditioned_conv(
         msg = jnp.einsum("ek,eko->eo", hidden, u[senders]) + v[senders]
 
     if aggr == "mean":
-        aggregated = masked_segment_mean(msg, receivers, n, edge_mask)
+        aggregated = masked_segment_mean(msg, receivers, n, edge_mask, count=degree)
     else:
         aggregated = masked_segment_sum(msg, receivers, n, edge_mask)
 

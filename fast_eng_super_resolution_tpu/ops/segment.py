@@ -37,14 +37,19 @@ def masked_segment_mean(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: jnp.ndarray | None = None,
+    count: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mean with PyG semantics: segments with zero (real) edges produce 0.
 
     Matches ``aggr='mean'`` in the reference convs (model.py:394, 551).
+    ``count`` lets callers hoist the (loop-invariant) degree computation out
+    of repeated-conv loops — it is one full segment-sum otherwise.
     """
     total = masked_segment_sum(data, segment_ids, num_segments, mask)
-    ones = jnp.ones(segment_ids.shape, data.dtype) if mask is None else mask.astype(data.dtype)
-    count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    if count is None:
+        ones = (jnp.ones(segment_ids.shape, data.dtype) if mask is None
+                else mask.astype(data.dtype))
+        count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
     count = jnp.maximum(count, 1.0)
     return total / count.reshape(count.shape + (1,) * (data.ndim - 1))
 
