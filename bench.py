@@ -58,7 +58,7 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
     # tried and is SLOWER here (240k) — the bf16 batched-contraction lowering
     # loses more than the halved reads gain on this toolchain.
     model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
-                     in_width=4, out_width=4, mode="edge3d")
+                     in_width=4, out_width=4, mode="edge3d", edges_sorted=True)
     params = model.init(jax.random.PRNGKey(0))
 
     from fast_eng_super_resolution_tpu.core.graph import merge_batch

@@ -100,6 +100,13 @@ def pad_graph(
         raise ValueError(f"graph has {e} edges > e_pad={e_pad}")
     if edge_attr.ndim == 1:
         edge_attr = edge_attr[:, None]
+    # sort edges by receiver: padded edges (receiver = n_pad-1) land at the
+    # tail, so segment ids are globally ascending — models constructed with
+    # edges_sorted=True then get the faster TPU sorted-scatter lowering
+    order = np.argsort(receivers, kind="stable")
+    senders = np.asarray(senders)[order]
+    receivers = np.asarray(receivers)[order]
+    edge_attr = np.asarray(edge_attr)[order]
     a = edge_attr.shape[1]
     c_out = y.shape[1] if y is not None else (out_channels or c_in)
 

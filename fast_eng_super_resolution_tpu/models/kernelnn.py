@@ -41,6 +41,8 @@ class KernelNN:
     kernel_dtype: str | None = None  # 'bfloat16' stores the precomputed
     # per-edge matrices half-size (f32 accumulation) — ~5e-3 rel error, opt-in
     lut_knots: int = 512  # table size for mode='lut' (tabulated edge kernel)
+    edges_sorted: bool = False  # promise receiver-sorted edges (pad_graph
+    # emits them sorted) -> faster TPU scatter lowering
 
     def init(self, key) -> dict:
         w = self.width
@@ -80,6 +82,7 @@ class KernelNN:
                 edge_mlp=conv["edge_mlp"], root=conv["root"], bias=conv["bias"],
                 edge_mask=edge_mask, activation=jax.nn.relu, aggr="mean",
                 mode=self.mode, precomputed=pre, degree=deg,
+                edges_sorted=self.edges_sorted,
             )
             return jax.nn.relu(h), None
 

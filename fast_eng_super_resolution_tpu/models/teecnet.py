@@ -43,6 +43,7 @@ class TEECNet:
     kernel_type: str = "dense"  # 'dense' (DenseNet op kernel) | 'powerseries'
     num_powers: int = 3
     ps_layers: int = 3
+    edges_sorted: bool = False  # promise receiver-sorted edges (see kernelnn)
 
     def init(self, key) -> dict:
         w = self.width
@@ -108,6 +109,7 @@ class TEECNet:
                 edge_mlp=kern["edge_mlp"], root=kern["root"], bias=kern["bias"],
                 edge_mask=edge_mask, activation=_leaky_relu, aggr="mean",
                 mode=self.mode, root_input=h, precomputed=pre, degree=deg,
+                edges_sorted=self.edges_sorted,
             )
             return h, None
 

@@ -142,6 +142,7 @@ def edge_conditioned_conv(
     root_input: jnp.ndarray | None = None,
     precomputed=None,
     degree: jnp.ndarray | None = None,
+    edges_sorted: bool = False,
 ) -> jnp.ndarray:
     """One edge-conditioned convolution layer (single graph, static shapes).
 
@@ -230,9 +231,12 @@ def edge_conditioned_conv(
         msg = jnp.einsum("ek,eko->eo", hidden, u[senders]) + v[senders]
 
     if aggr == "mean":
-        aggregated = masked_segment_mean(msg, receivers, n, edge_mask, count=degree)
+        aggregated = masked_segment_mean(msg, receivers, n, edge_mask,
+                                         count=degree,
+                                         indices_are_sorted=edges_sorted)
     else:
-        aggregated = masked_segment_sum(msg, receivers, n, edge_mask)
+        aggregated = masked_segment_sum(msg, receivers, n, edge_mask,
+                                        indices_are_sorted=edges_sorted)
 
     xr = x if root_input is None else root_input
     return aggregated + xr @ root + bias

@@ -166,7 +166,12 @@ class PartitionScheduler:
                    else [self.subset_indices[i] for i in subset_idx])
         merged = self._single_device()  # merged layout: 1.5x on one chip;
         # multi-chip keeps [B,...] so the batch axis shards across the mesh
-        trainer = Trainer(self.model, lr=train_config["lr"],
+        train_model = self.model
+        if hasattr(self.model, "edges_sorted"):
+            import dataclasses as _dc
+
+            train_model = _dc.replace(self.model, edges_sorted=True)
+        trainer = Trainer(train_model, lr=train_config["lr"],
                           layout="merged" if merged else "batched")
         pretrained = self._load_models() if start_from_pretrained else None
 
@@ -285,12 +290,17 @@ class PartitionScheduler:
         import dataclasses as _dc
 
         infer_model = self.model
-        if getattr(self.model, "mode", None) == "auto":
-            try:
-                if jax.default_backend() == "tpu":
-                    infer_model = _dc.replace(self.model, mode="edge3d")
-            except Exception:
-                pass
+        try:
+            replace = {}
+            if getattr(self.model, "mode", None) == "auto" and \
+                    jax.default_backend() == "tpu":
+                replace["mode"] = "edge3d"
+            if hasattr(self.model, "edges_sorted"):
+                replace["edges_sorted"] = True  # pad_graph emits sorted edges
+            if replace:
+                infer_model = _dc.replace(self.model, **replace)
+        except Exception:
+            pass
 
         def single_expert(params, batch):
             # merged block-diagonal layout: one scatter pass for the whole
