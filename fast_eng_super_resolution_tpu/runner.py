@@ -43,7 +43,18 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
         with span("Reconstruction"):
             full = dataset.full_mesh(idx)
             num_nodes = len(full["points"])
-            gids = [d["global_node_ids"] for d in x]
+            gids = [d.get("global_node_ids") for d in x]
+            if any(g is None for g in gids):
+                # reference-produced duct partition caches carry no global ids
+                # (GraphDataset.py:615-620); recover them by coordinate match —
+                # the exact identity the reference rediscovers with a radius
+                # locator at merge time (:1371-1400)
+                from scipy.spatial import cKDTree
+
+                tree = cKDTree(full["points"])
+                gids = [g if g is not None else
+                        tree.query(d["pos"], workers=-1)[1].astype(np.int64)
+                        for g, d in zip(gids, x)]
             pred = overlap_average(pred_y_list, gids, num_nodes)
             ref = overlap_average([np.asarray(r) for r in ref_y_list], gids, num_nodes)
 

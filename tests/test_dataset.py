@@ -96,3 +96,63 @@ def test_duct_dataset_with_msh_raw(tmp_path):
     assert d["x"].shape[1] == 4
     sample = ds.get_one_full_sample()
     assert len(sample) == 2
+
+
+def test_reference_layout_duct_h5_without_global_ids(tmp_path):
+    """A reference-produced duct partition cache (no global_node_ids,
+    GraphDataset.py:615-620) must flow through predict+reconstruct — the
+    runner recovers ids by coordinate matching."""
+    import h5py
+
+    from fast_eng_super_resolution_tpu.data.dataset import DuctAnalysisDataset
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(8, 4, 4)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    subs = extract_subdomains(mesh.points, mesh.cells, y, y, 2, "one_region")
+
+    root = str(tmp_path / "duct_ref")
+    os.makedirs(os.path.join(root, "partition"))
+    os.makedirs(os.path.join(root, "processed"))
+    os.makedirs(os.path.join(root, "raw"))
+    # write the REFERENCE duct layout: flat subdomain groups, 5 datasets only
+    with h5py.File(os.path.join(root, "partition", "data.h5"), "w") as f:
+        for i, s in enumerate(subs):
+            g = f.create_group(f"subdomain_{i}")
+            g.create_dataset("x", data=s.x)
+            g.create_dataset("y", data=s.y)
+            g.create_dataset("pos", data=s.pos)
+            g.create_dataset("edge_index", data=np.stack([s.senders, s.receivers]).astype(np.int64))
+            g.create_dataset("edge_attr", data=s.edge_attr)
+    np.savez(os.path.join(root, "processed", "mesh_0.npz"),
+             points=mesh.points, cells=mesh.cells, x=y, y=y,
+             wall_idx=np.zeros(0, np.int64))
+    np.savez(os.path.join(root, "processed", "data.npz"), num_meshes=1)
+    open(os.path.join(root, "raw", "Mesh_Output_High.msh"), "w").write("stub")
+
+    ds = DuctAnalysisDataset(root=root, partition=True, sub_size=2)
+    sample = ds.get_one_full_sample()
+    assert all("global_node_ids" not in d for d in sample)
+
+    # drive the runner's predict+reconstruct over this reference-layout data
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.runner import pred_graph_ALDD
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    model = KernelNN(width=6, ker_width=4, depth=2, in_width=4, out_width=4)
+    log_dir = str(tmp_path / "logs")
+    sched = PartitionScheduler("ref_duct", 1, ds, model, train=True, log_dir=log_dir)
+    sched.train(dict(epochs=1, batch_size=4, lr=1e-3, step_size=30, gamma=0.1,
+                     log_interval=10, val_interval=1))
+    import os as _os
+    cwd = _os.getcwd()
+    try:
+        _os.chdir(str(tmp_path))
+        outs = pred_graph_ALDD([0], "ref_duct", model, ds, 1, log_dir=log_dir)
+    finally:
+        _os.chdir(cwd)
+    assert os.path.exists(outs[0])
