@@ -249,6 +249,7 @@ class PartitionScheduler:
                         ckpt.save_tree(self._state_path(i), opt_state,
                                        extra={"epoch": epoch, "best_loss": best_loss})
                         print(f"Epoch {epoch}: Validation loss: {val_loss}")
+                        self._maybe_plot_val(trainer, params, val_batches, i, epoch)
                 if lr_schedule == "plateau":
                     new_lr = sched.update(train_loss)
                 else:
@@ -259,6 +260,31 @@ class PartitionScheduler:
             logger.finish()
         self.params_list = self._load_models()
         return self.params_list
+
+    def _maybe_plot_val(self, trainer, params, val_batches, partition: int,
+                        epoch: int) -> None:
+        """Validation prediction panels (scheduler_gnn.py:440-442 plots to
+        wandb; here: logs/figures/{exp} PNGs, mirrored to wandb by the
+        MetricLogger when configured).  Opt-in via FESR_PLOT_VAL=1."""
+        if not os.environ.get("FESR_PLOT_VAL"):
+            return
+        try:
+            from ..utils.plotting import plot_3d_prediction
+
+            _, batch = val_batches[0]
+            pred = np.asarray(trainer.predict(params, batch))
+            if pred.ndim == 3:  # batched layout: take the first graph
+                pos, x, y, p = (np.asarray(batch.pos[0]), np.asarray(batch.x[0]),
+                                np.asarray(batch.y[0]), pred[0])
+            else:  # merged layout
+                pos, x, y, p = (np.asarray(batch.pos), np.asarray(batch.x),
+                                np.asarray(batch.y), pred)
+            plot_3d_prediction(
+                pos, x, y, p, save_mode="save_png",
+                path=os.path.join(self.log_dir, "figures", self.name,
+                                  f"val_p{partition}_e{epoch}"))
+        except Exception as exc:  # plotting must never break training
+            print(f"val plot skipped: {exc}")
 
     # -- prediction ------------------------------------------------------
     def predict(self, x: list[dict]):

@@ -142,3 +142,45 @@ def test_mesh_io_utilities(tmp_path):
     g2 = read_vtu(vis)
     assert (g2["cell_data"]["partition"] >= 0).all()
     assert g2["point_data"]["overlap_count"].max() >= 2  # overlap mode
+
+
+def test_val_plotting_hook(tmp_path, monkeypatch):
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    monkeypatch.setenv("FESR_PLOT_VAL", "1")
+    ds = SyntheticDataset(root=str(tmp_path / "d"), partition=True, sub_size=4,
+                          n_high=(8, 4, 4), n_low=(5, 3, 3))
+    model = KernelNN(width=6, ker_width=4, depth=2, in_width=4, out_width=4)
+    log_dir = str(tmp_path / "logs")
+    sched = PartitionScheduler("plot_test", 1, ds, model, train=True, log_dir=log_dir)
+    sched.train(dict(epochs=1, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+                     log_interval=10, val_interval=1))
+    figs = os.path.join(log_dir, "figures", "plot_test")
+    assert os.path.isdir(figs) and any(f.endswith(".png") for f in os.listdir(figs))
+
+
+def test_vtu_reader_ascii_format(tmp_path):
+    """Interop: ascii-format DataArrays from external VTU writers."""
+    from fast_eng_super_resolution_tpu.data.vtu import read_vtu
+
+    vtu = """<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian" header_type="UInt64">
+<UnstructuredGrid><Piece NumberOfPoints="3" NumberOfCells="1">
+<PointData>
+<DataArray type="Float32" Name="pressure" NumberOfComponents="1" format="ascii">1.0 2.0 3.0</DataArray>
+</PointData>
+<Points><DataArray type="Float32" NumberOfComponents="3" format="ascii">0 0 0 1 0 0 0 1 0</DataArray></Points>
+<Cells>
+<DataArray type="Int32" Name="connectivity" NumberOfComponents="1" format="ascii">0 1 2</DataArray>
+<DataArray type="Int32" Name="offsets" NumberOfComponents="1" format="ascii">3</DataArray>
+<DataArray type="UInt8" Name="types" NumberOfComponents="1" format="ascii">5</DataArray>
+</Cells>
+</Piece></UnstructuredGrid></VTKFile>"""
+    path = str(tmp_path / "ascii.vtu")
+    open(path, "w").write(vtu)
+    g = read_vtu(path)
+    assert g["points"].shape == (3, 3)
+    np.testing.assert_allclose(g["point_data"]["pressure"], [1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(g["cells"]), [[0, 1, 2]])
