@@ -45,6 +45,19 @@ def _load():
     lib.rcb_assign.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
+    lib.extract_subdomain.restype = ctypes.c_int64
+    lib.extract_subdomain.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.rcb_overlap_assign.restype = ctypes.c_int64
+    lib.rcb_overlap_assign.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
     lib.box_intersect_assign.restype = None
     lib.box_intersect_assign.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -89,6 +102,69 @@ def rcb_assign_native(points: np.ndarray, num_parts: int):
                    boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return assign, [(boxes[p, :3].copy(), boxes[p, 3:].copy())
                     for p in range(num_parts)]
+
+
+def extract_subdomain_native(cells64: np.ndarray, cell_ids: np.ndarray):
+    """Full one-pass subdomain extraction (unique nodes + reindexed edges,
+    receiver-major).  Returns (gids int64, edges [E,2] int32) or None.
+
+    The GIL is released for the duration of the C call, so calling this from
+    a thread pool parallelizes across partitions.
+    """
+    lib = _load()
+    if lib is None or cells64.ndim != 2 or cells64.shape[1] > 16:
+        return None
+    cell_ids = np.ascontiguousarray(cell_ids, np.int64)
+    k = cells64.shape[1]
+    n_cells = len(cell_ids)
+    gid_cap = n_cells * k + 1
+    edge_cap = n_cells * k * (k - 1) + 1
+    gids = np.empty(gid_cap, np.int64)
+    edges = np.empty((edge_cap, 2), np.int32)
+    counts = np.zeros(2, np.int64)
+    rc = lib.extract_subdomain(
+        cells64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k,
+        cell_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_cells,
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), gid_cap,
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), edge_cap,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    return gids[: counts[0]].copy(), edges[: counts[1]].copy()
+
+
+def rcb_overlap_assign_native(points: np.ndarray, cells: np.ndarray,
+                              num_parts: int, overlap: bool):
+    """Whole cell->partition assignment in one threaded C++ call.
+
+    Returns (cell_id_lists, boxes) or None.  Covers centroid/AABB computation,
+    RCB, and (overlap mode) box-intersection membership — the host stages that
+    dominated >500k-node ETL in numpy.
+    """
+    lib = _load()
+    if lib is None or not (isinstance(cells, np.ndarray) and cells.ndim == 2):
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    cells64 = np.ascontiguousarray(cells, np.int64)
+    n_cells, k = cells64.shape
+    offsets = np.zeros(num_parts + 1, np.int64)
+    cap = n_cells * (4 if overlap else 1) + 1
+    while True:
+        ids = np.empty(cap, np.int64)
+        boxes = np.empty((num_parts, 6), np.float64)
+        total = lib.rcb_overlap_assign(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cells64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_cells, k, num_parts, 1 if overlap else 0,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if total >= 0:
+            break
+        cap *= 4  # rare: extreme overlap
+    lists = [ids[offsets[p]:offsets[p + 1]].copy() for p in range(num_parts)]
+    box_list = [(boxes[p, :3].copy(), boxes[p, 3:].copy()) for p in range(num_parts)]
+    return lists, box_list
 
 
 def box_intersect_native(cell_lo: np.ndarray, cell_hi: np.ndarray,

@@ -89,7 +89,14 @@ def rcb_regions(centroids: np.ndarray, num_parts: int,
 def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
                  mode: str = "one_region"):
     """Returns per-partition cell-index lists under the requested boundary mode."""
-    from .native import rcb_assign_native
+    from .native import rcb_assign_native, rcb_overlap_assign_native
+
+    if mode not in ("one_region", "all_intersecting"):
+        raise ValueError(f"unknown boundary mode: {mode}")
+    full = rcb_overlap_assign_native(points, cells, num_parts,
+                                     overlap=(mode == "all_intersecting"))
+    if full is not None:
+        return full
 
     pts_at_cells = points[cells]  # one gather reused for centroid + bbox
     centroids = pts_at_cells.mean(axis=1)
@@ -132,13 +139,22 @@ def extract_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
     cell_lists, _ = assign_cells(points, cells, num_parts, mode)
     cell_lists = [c for c in cell_lists if len(c)]
 
+    from .native import extract_subdomain_native
+
+    cells64 = (np.ascontiguousarray(cells, np.int64)
+               if isinstance(cells, np.ndarray) and cells.ndim == 2 else None)
+
     def extract(cell_ids):
-        sub_cells = cells[cell_ids]
-        gids = np.unique(sub_cells)
-        local = np.full(points.shape[0], -1, np.int64)
-        local[gids] = np.arange(len(gids))
-        local_cells = local[sub_cells]
-        edges = cells_to_edges(local_cells)
+        native = (extract_subdomain_native(cells64, cell_ids)
+                  if cells64 is not None else None)
+        if native is not None:
+            gids, edges = native  # one-pass C++: unique+reindex+edges
+        else:
+            sub_cells = cells[cell_ids]
+            gids = np.unique(sub_cells)
+            local = np.full(points.shape[0], -1, np.int64)
+            local[gids] = np.arange(len(gids))
+            edges = cells_to_edges(local[sub_cells])
         pos = points[gids]
         return Subdomain(
             x=x[gids].astype(np.float32), y=y[gids].astype(np.float32),

@@ -166,6 +166,66 @@ void rcb_assign(const double* points, int64_t n, int num_parts,
             lo, hi);
 }
 
+// Full subdomain extraction for one partition: given the global cell array
+// and this partition's cell ids, produce the sorted-unique global node ids,
+// the locally-reindexed deduplicated directed edge list (receiver-major
+// order so downstream scatters see sorted segment ids), all in one pass.
+// Returns 0 on success, -1 if a capacity is insufficient.
+// out_counts = {num_gids, num_edges}.
+int64_t extract_subdomain(const int64_t* cells, int64_t k,
+                          const int64_t* cell_ids, int64_t n_cells,
+                          int64_t* out_gids, int64_t gid_cap,
+                          int32_t* out_edges, int64_t edge_cap,
+                          int64_t* out_counts) {
+  // 1. unique node ids of this partition's cells
+  std::vector<int64_t> nodes(n_cells * k);
+  for (int64_t c = 0; c < n_cells; ++c) {
+    const int64_t* cell = cells + cell_ids[c] * k;
+    for (int64_t j = 0; j < k; ++j) nodes[c * k + j] = cell[j];
+  }
+  std::sort(nodes.begin(), nodes.end());
+  nodes.erase(std::unique(nodes.begin(), nodes.end()), nodes.end());
+  int64_t n_gids = static_cast<int64_t>(nodes.size());
+  if (n_gids > gid_cap) return -1;
+  std::copy(nodes.begin(), nodes.end(), out_gids);
+
+  // 2. local ordered pairs, keyed receiver-major for sorted segment ids
+  auto local_of = [&](int64_t g) {
+    return static_cast<uint64_t>(
+        std::lower_bound(nodes.begin(), nodes.end(), g) - nodes.begin());
+  };
+  const int64_t pairs_per_cell = k * (k - 1);
+  std::vector<uint64_t> keys(n_cells * pairs_per_cell);
+  for (int64_t c = 0; c < n_cells; ++c) {
+    const int64_t* cell = cells + cell_ids[c] * k;
+    uint64_t local[16];
+    for (int64_t j = 0; j < k; ++j) local[j] = local_of(cell[j]);
+    uint64_t* out = keys.data() + c * pairs_per_cell;
+    int64_t idx = 0;
+    for (int64_t i = 0; i < k; ++i)
+      for (int64_t j = 0; j < k; ++j) {
+        if (i == j) continue;
+        out[idx++] = (local[j] << 32) | local[i];  // receiver-major key
+      }
+  }
+  std::sort(keys.begin(), keys.end());
+  int64_t count = 0;
+  uint64_t prev = ~0ull;
+  for (uint64_t key : keys) {
+    uint32_t recv = static_cast<uint32_t>(key >> 32);
+    uint32_t send = static_cast<uint32_t>(key & 0xffffffffu);
+    if (key == prev || recv == send) continue;
+    prev = key;
+    if (count >= edge_cap) return -1;
+    out_edges[2 * count] = static_cast<int32_t>(send);
+    out_edges[2 * count + 1] = static_cast<int32_t>(recv);
+    ++count;
+  }
+  out_counts[0] = n_gids;
+  out_counts[1] = count;
+  return 0;
+}
+
 // Overlap-mode assignment: cell -> every region whose box intersects the
 // cell's AABB.  cell_lo/cell_hi: [n * 3]; boxes: [num_parts * 6].
 // out: [n * num_parts] uint8 membership matrix.
@@ -188,6 +248,87 @@ void box_intersect_assign(const double* cell_lo, const double* cell_hi,
       }
     }
   });
+}
+
+// One-call overlap partition assignment: centroids + AABBs from (points,
+// cells), RCB over centroids, box-intersection membership, emitted as CSR
+// (offsets + concatenated cell ids per partition).  Threads everywhere the
+// work is per-cell.  Returns total assignment count, or -1 if ids_cap is too
+// small (call again with a larger buffer).
+int64_t rcb_overlap_assign(const float* points, const int64_t* cells,
+                           int64_t n_cells, int64_t k, int num_parts,
+                           int mode_overlap, int64_t* out_offsets,
+                           int64_t* out_ids, int64_t ids_cap,
+                           double* out_boxes) {
+  std::vector<double> centroids(n_cells * 3);
+  std::vector<double> lo(n_cells * 3), hi(n_cells * 3);
+  parallel_for(n_cells, [&](int64_t a, int64_t b) {
+    for (int64_t c = a; c < b; ++c) {
+      double cen[3] = {0, 0, 0};
+      double mn[3] = {1e300, 1e300, 1e300}, mx[3] = {-1e300, -1e300, -1e300};
+      for (int64_t j = 0; j < k; ++j) {
+        const float* p = points + cells[c * k + j] * 3;
+        for (int d = 0; d < 3; ++d) {
+          double v = p[d];
+          cen[d] += v;
+          mn[d] = std::min(mn[d], v);
+          mx[d] = std::max(mx[d], v);
+        }
+      }
+      for (int d = 0; d < 3; ++d) {
+        centroids[c * 3 + d] = cen[d] / k;
+        lo[c * 3 + d] = mn[d];
+        hi[c * 3 + d] = mx[d];
+      }
+    }
+  });
+
+  std::vector<int32_t> assign(n_cells);
+  rcb_assign(centroids.data(), n_cells, num_parts, assign.data(), out_boxes);
+
+  if (!mode_overlap) {
+    std::vector<int64_t> counts(num_parts, 0);
+    for (int64_t c = 0; c < n_cells; ++c) counts[assign[c]]++;
+    out_offsets[0] = 0;
+    for (int p = 0; p < num_parts; ++p) out_offsets[p + 1] = out_offsets[p] + counts[p];
+    if (out_offsets[num_parts] > ids_cap) return -1;
+    std::vector<int64_t> cursor(out_offsets, out_offsets + num_parts);
+    for (int64_t c = 0; c < n_cells; ++c) out_ids[cursor[assign[c]]++] = c;
+    return out_offsets[num_parts];
+  }
+
+  // overlap: membership by box intersection, counted then filled (threaded
+  // count pass; serial prefix; threaded fill via per-part atomics-free
+  // second count because cells iterate in order per thread chunk we instead
+  // fill serially — the fill is memory-bound and fast).
+  std::vector<int64_t> counts(num_parts, 0);
+  std::vector<uint8_t> member(n_cells * num_parts);
+  parallel_for(n_cells, [&](int64_t a, int64_t b) {
+    for (int64_t c = a; c < b; ++c) {
+      for (int p = 0; p < num_parts; ++p) {
+        const double* blo = out_boxes + p * 6;
+        const double* bhi = out_boxes + p * 6 + 3;
+        bool hit = true;
+        for (int d = 0; d < 3; ++d) {
+          if (hi[c * 3 + d] < blo[d] || lo[c * 3 + d] > bhi[d]) {
+            hit = false;
+            break;
+          }
+        }
+        member[c * num_parts + p] = hit ? 1 : 0;
+      }
+    }
+  });
+  for (int64_t c = 0; c < n_cells; ++c)
+    for (int p = 0; p < num_parts; ++p) counts[p] += member[c * num_parts + p];
+  out_offsets[0] = 0;
+  for (int p = 0; p < num_parts; ++p) out_offsets[p + 1] = out_offsets[p] + counts[p];
+  if (out_offsets[num_parts] > ids_cap) return -1;
+  std::vector<int64_t> cursor(out_offsets, out_offsets + num_parts);
+  for (int64_t c = 0; c < n_cells; ++c)
+    for (int p = 0; p < num_parts; ++p)
+      if (member[c * num_parts + p]) out_ids[cursor[p]++] = c;
+  return out_offsets[num_parts];
 }
 
 }  // extern "C"
