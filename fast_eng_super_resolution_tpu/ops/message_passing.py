@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from .segment import masked_segment_mean, masked_segment_sum
 
-Mode = Literal["auto", "factored", "edge", "pallas"]
+Mode = Literal["auto", "factored", "edge", "edge3d", "pallas", "lut"]
 
 
 def resolve_mode(mode: str) -> str:

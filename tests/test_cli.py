@@ -166,3 +166,27 @@ idxs: [1]
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(workdir, "logs", "vtk", "cli_routed",
                                        "pred_1.vtu"))
+
+
+def test_cli_predict_with_divergence_smoothing(workdir, exp_config):
+    """exp_config smooth: True routes reconstruction through the
+    divergence-free projection (runner.py smooth path)."""
+    exp, train = exp_config
+    smooth_exp = os.path.join(workdir, "exp_smooth.yaml")
+    with open(exp) as f:
+        body = f.read()
+    with open(smooth_exp, "w") as f:
+        f.write(body + "\nsmooth: True\n")
+    if not os.path.exists(os.path.join(
+            workdir, "logs", "models", "collection_cli_test", "partition_0.npz")):
+        pytest.skip("train step did not run")
+    r = _run(["run_ALDS_3D.py", "--mode=pred", "--model=neuralop",
+              "--dataset=synthetic", "--exp_name=cli_test",
+              f"--exp_config={smooth_exp}", f"--train_config={train}"], cwd=workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Initial divergence:" in r.stdout and "Final divergence:" in r.stdout
+
+    from fast_eng_super_resolution_tpu.data.vtu import read_vtu
+
+    g = read_vtu(os.path.join(workdir, "logs", "vtk", "cli_test", "pred_0.vtu"))
+    assert np.isfinite(g["point_data"]["velocity"]).all()
