@@ -139,3 +139,23 @@ def test_wss_writes_vtp(tmp_path, duct):
     compute_wall_shear_stress(mesh.points, mesh.cells, edges, vel,
                               output_filename=out)
     assert (tmp_path / "wss.vtp").exists()
+
+
+def test_faithful_mode_projection_never_worse(duct):
+    """faithful=True replicates the reference operators (normalized weights,
+    9-entry divergence); the safety nets must still guarantee no regression
+    (GraphDataset.py:2029-2039)."""
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field
+    from fast_eng_super_resolution_tpu.physics.projection import DivergenceFreeProjection
+
+    mesh, edges = duct
+    v, p = duct_field(mesh.points)
+    rng = np.random.default_rng(1)
+    noisy = v + 0.05 * rng.normal(size=v.shape).astype(np.float32)
+    proj = DivergenceFreeProjection(mesh.points, edges, noisy, p[:, 0],
+                                    faithful=True)
+    init = float(np.linalg.norm(np.asarray(proj.calculate_divergence())))
+    vel, pres, final, _ = proj.apply_divergence_free_projection(max_iterations=4,
+                                                               tolerance=1e-3)
+    assert final <= init * (1 + 1e-6)
+    assert np.isfinite(np.asarray(vel)).all()
