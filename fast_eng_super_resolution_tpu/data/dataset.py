@@ -278,11 +278,19 @@ class DuctAnalysisDataset(_PartitionedGraphDataset):
     norm_style = "duct"
     boundary_mode = "one_region"
 
+    def __init__(self, root: str, partition: bool = True, sub_size: int = 4,
+                 load_case: int = 100, **kwargs):
+        # the reference raw set carries both 100%% and 25%% load-case CSVs
+        # (GraphDataset.py:229-231); load_case selects which pair feeds ETL
+        self.load_case = int(load_case)
+        super().__init__(root, partition, sub_size, **kwargs)
+
     @property
     def raw_file_names(self) -> list[str]:
+        lc = getattr(self, "load_case", 100)
         return ["Mesh_Output_High.msh", "Mesh_Output_Med.msh", "Mesh_Output_Low.msh",
-                "Output_Summary_High_100", "Output_Summary_Med_100",
-                "Output_Summary_Low_100"]  # :229-231 (25%-load variants optional)
+                f"Output_Summary_High_{lc}", f"Output_Summary_Med_{lc}",
+                f"Output_Summary_Low_{lc}"]  # :229-231
 
     def process(self):
         high = read_msh(os.path.join(self.raw_dir, self.raw_file_names[0]))

@@ -160,7 +160,11 @@ class Trainer:
         holds the same number of real (unmasked) graphs.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
 
         def global_loss(params, batch):
             # psum/pmax the loss PARTS, then compose — exactly the single-
@@ -200,7 +204,7 @@ class Trainer:
                 out_specs=(jax.tree_util.tree_map(lambda _: P(), params),
                            jax.tree_util.tree_map(lambda _: P(), opt_state),
                            P()),
-                check_rep=False)
+                check_vma=False)
             return mapped(params, opt_state, batch)
 
         return jax.jit(step)

@@ -156,3 +156,31 @@ def test_reference_layout_duct_h5_without_global_ids(tmp_path):
     finally:
         _os.chdir(cwd)
     assert os.path.exists(outs[0])
+
+
+def test_duct_load_case_25(tmp_path):
+    """DuctAnalysisDataset(load_case=25) consumes the 25%-load CSVs
+    (GraphDataset.py:229-231 lists both variants)."""
+    from fast_eng_super_resolution_tpu.data.dataset import (
+        COL_P_DUCT, DuctAnalysisDataset, write_physics_csv)
+    from fast_eng_super_resolution_tpu.data.fluent_mesh import mesh_from_cells
+    from fast_eng_super_resolution_tpu.data.fluent_msh import write_msh
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    root = str(tmp_path / "duct25")
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw)
+    rng = np.random.default_rng(2)
+    for name, dims in (("Mesh_Output_High.msh", (6, 4, 4)),
+                       ("Mesh_Output_Med.msh", (4, 3, 3)),
+                       ("Mesh_Output_Low.msh", (4, 3, 3))):
+        mesh = make_duct_mesh(*dims)
+        write_msh(os.path.join(raw, name), mesh_from_cells(mesh.points, mesh.cells))
+        v, p = duct_field(mesh.points)
+        tag = name.split("_")[2].split(".")[0]
+        write_physics_csv(os.path.join(raw, f"Output_Summary_{tag}_25"),
+                          mesh.points, v * 0.25, p + 0.5, COL_P_DUCT)
+
+    ds = DuctAnalysisDataset(root=root, partition=True, sub_size=2, load_case=25)
+    assert len(ds) == 2
+    assert "Output_Summary_High_25" in ds.raw_file_names
