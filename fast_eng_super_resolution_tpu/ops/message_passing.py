@@ -156,11 +156,16 @@ def edge_conditioned_conv(
       activation: edge-MLP nonlinearity (ReLU for KernelNN kernels
         model.py:550, LeakyReLU for TEECNet model.py:403).
       aggr: 'mean' (reference default) or 'sum'.
-      mode: 'factored' (MXU-restructured, default) or 'edge' (literal
-        per-edge matrices, used for parity testing).
+      mode: formulation — see the module docstring ('auto' resolves per
+        backend via resolve_mode).
       root_input: node features for the root/self term; defaults to ``x``.
         TEECNet's KernelConv applies root to the raw input while messages use
         ``linear(x)`` (model.py:430-445), so callers pass both.
+      precomputed: token from ``precompute_edge_kernel`` hoisting the
+        edge-attr-only work out of shared-weight depth loops.
+      degree: optional precomputed real-edge counts per node (loop-invariant).
+      edges_sorted: promise ascending receivers (pad_graph emits them sorted)
+        for the faster TPU sorted-scatter lowering.
 
     Returns:
       [N, C_out] updated node features.
