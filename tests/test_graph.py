@@ -56,3 +56,18 @@ def test_resolve_mode():
     assert resolve_mode("factored") == "factored"
     # on the CPU test backend, auto -> factored
     assert resolve_mode("auto") == "factored"
+
+
+def test_sorted_edges_preserved_through_padding_and_merge(rng):
+    """pad_graph sorts by receiver; merge_batch keeps global sortedness —
+    the invariant behind models' edges_sorted=True fast path."""
+    from fast_eng_super_resolution_tpu.core.graph import merge_batch, pad_and_bucket
+
+    gs = [make_random_graph(rng, n=30, e=100) for _ in range(3)]
+    raw = [dict(x=g["x"], y=g["y"], pos=g["pos"], senders=g["senders"],
+                receivers=g["receivers"], edge_attr=g["edge_attr"]) for g in gs]
+    (_, _, batch), = pad_and_bucket(raw)
+    r = np.asarray(batch.receivers)
+    assert all((np.diff(r[b]) >= 0).all() for b in range(r.shape[0]))
+    merged, _ = merge_batch(batch)
+    assert (np.diff(np.asarray(merged.receivers)) >= 0).all()

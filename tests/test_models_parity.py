@@ -39,7 +39,7 @@ def test_kernelnn_matches_reference_checkpoint(rng):
 
     model = KernelNN(width=43, ker_width=43, depth=5, ker_in=1, in_width=4, out_width=4)
     params = model.import_pth(sd)
-    for mode in ("edge", "factored"):
+    for mode in ("edge", "edge3d", "factored"):
         out = np.asarray(
             KernelNN(43, 43, 5, 1, 4, 4, mode=mode).apply(
                 params, g["x"], g["senders"], g["receivers"], g["edge_attr"]
@@ -60,7 +60,7 @@ def test_teecnet_matches_reference_checkpoint(rng):
 
     model = TEECNet(in_channels=4, width=43, out_channels=4, num_layers=5)
     params = model.import_pth(sd)
-    for mode in ("edge", "factored"):
+    for mode in ("edge", "edge3d", "factored"):
         out = np.asarray(
             TEECNet(4, 43, 4, 5, mode=mode).apply(
                 params, g["x"], g["senders"], g["receivers"], g["edge_attr"]
