@@ -184,3 +184,27 @@ def test_duct_load_case_25(tmp_path):
     ds = DuctAnalysisDataset(root=root, partition=True, sub_size=2, load_case=25)
     assert len(ds) == 2
     assert "Output_Summary_High_25" in ds.raw_file_names
+
+
+def test_ansys_missing_cases_skipped_gracefully(tmp_path):
+    """Missing case files print and continue (GraphDataset.py:905-907):
+    a partial raw set still yields a working dataset."""
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    root = str(tmp_path / "partial")
+    ds = SyntheticDataset(root=root, partition=True, sub_size=2,
+                          n_high=(8, 4, 4), n_low=(5, 3, 3))
+    # remove two of four cases and force reprocessing
+    import shutil
+    for name in ("40degree", "60degree"):
+        for suffix in ("_high.cas.h5", ".cas.h5", "_high", ""):
+            p = os.path.join(root, "raw", name + suffix)
+            if os.path.exists(p):
+                os.remove(p)
+    shutil.rmtree(os.path.join(root, "processed"))
+    shutil.rmtree(os.path.join(root, "partition"))
+
+    ds2 = SyntheticDataset(root=root, partition=True, sub_size=2,
+                           n_high=(8, 4, 4), n_low=(5, 3, 3))
+    assert ds2.num_meshes == 2  # the two remaining cases processed fine
+    assert len(ds2.get_one_full_sample(1)) >= 1
