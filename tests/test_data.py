@@ -149,3 +149,25 @@ def test_make_sample_pair_end_to_end():
     # interpolated input should correlate strongly with the target
     cc = np.corrcoef(s["x"][:, 0], s["y"][:, 0])[0, 1]
     assert cc > 0.95, cc
+
+
+def test_legacy_uniform_box_partitioner():
+    """GenericGraphDataset legacy box-grid decomposition
+    (GraphDataset.py:101-163): axis-aligned cubes, centroid binning."""
+    from fast_eng_super_resolution_tpu.data.partition import uniform_box_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(10, 5, 5)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    subs = uniform_box_subdomains(mesh.points, mesh.cells, y, y, sub_size=0.5)
+    assert len(subs) >= 4  # 2.0/0.5 = 4 boxes along x at least
+    # every cell in exactly one subdomain (box mode has no overlap)
+    all_cells = np.concatenate([s.cell_ids for s in subs])
+    assert len(all_cells) == len(mesh.cells)
+    assert len(np.unique(all_cells)) == len(mesh.cells)
+    # every node covered
+    covered = np.unique(np.concatenate([s.global_node_ids for s in subs]))
+    assert len(covered) == len(mesh.points)
+    for s in subs[:3]:
+        assert s.senders.max() < len(s.global_node_ids)
