@@ -364,15 +364,28 @@ class SyntheticDataset(AnsysDataset):
     runnable quickstart, and bench.py."""
 
     def __init__(self, root: str, partition: bool = True, sub_size: int = 4,
-                 n_high=(16, 8, 8), n_low=(8, 4, 4), **kwargs):
+                 n_high=(16, 8, 8), n_low=(8, 4, 4), num_cases: int = 4,
+                 aspect_seed: int | None = None, **kwargs):
         self._n_high, self._n_low = tuple(n_high), tuple(n_low)
+        self._num_cases = int(num_cases)
+        self._aspect_seed = aspect_seed  # None -> deterministic aspect ladder
         # synthetic duct spacing >> the reference's 0.036 ANSYS radius
         self.gauss_radius = 1.5 * 2.0 / max(n_low[0] - 1, 1)
         super().__init__(root, partition, sub_size, **kwargs)
 
     @property
     def raw_file_names(self) -> list[str]:
-        return ["0degree", "20degree", "40degree", "60degree"]
+        base = ["0degree", "20degree", "40degree", "60degree"]
+        n = getattr(self, "_num_cases", 4)
+        if n <= 4:
+            return base[:n]
+        return base + [f"case{i}" for i in range(4, n)]
+
+    def _case_aspect(self, i: int) -> float:
+        if self._aspect_seed is not None:
+            rng = np.random.default_rng(self._aspect_seed + i)
+            return float(0.4 + 0.4 * rng.random())
+        return 0.5 + 0.08 * i  # the original 4-case ladder
 
     def prepare_raw(self):
         from .synthetic import duct_field, make_duct_mesh
@@ -381,7 +394,7 @@ class SyntheticDataset(AnsysDataset):
         rng = np.random.default_rng(0)
         for i, name in enumerate(self.raw_file_names):
             # vary the aspect per "bend angle" so cases differ
-            ly = 0.5 + 0.08 * i
+            ly = self._case_aspect(i)
             high = make_duct_mesh(*self._n_high, ly=ly)
             low = make_duct_mesh(*self._n_low, ly=ly)
             paths = self.case_paths(name)

@@ -32,6 +32,7 @@ def gradient_weight_scalar(
     node_mask: jnp.ndarray | None = None,
     max_weight: float = 1.0,
     scatter_to: str = "receivers",
+    min_weight: float | None = None,
 ) -> jnp.ndarray:
     """The scalar gradient weight of GradientbasedLoss.forward.
 
@@ -40,6 +41,14 @@ def gradient_weight_scalar(
     torch.max(...,dim=1)[0] at scheduler_gnn.py:486), scatter-added to nodes
     (receivers in forward :491, senders in compute_node_weight :512), clamped
     from above by ``max_weight`` (:493), then summed to a scalar (:495).
+
+    ``min_weight`` is a stability extension absent from the reference: the
+    reference clamps node weights only from ABOVE, so once the prediction's
+    gradients undershoot the target's everywhere the scalar goes negative and
+    gradient descent is rewarded for INCREASING the MSE — training runs away
+    to a huge finite negative loss (observed after ~100-200 epochs on the
+    synthetic duct workload).  Training paths pass ``min_weight=0.0`` (a
+    weight is non-negative by intent); ``None`` keeps the faithful replica.
     """
     n = pred.shape[0]
     grad_pred = (pred[senders] - pred[receivers]) / edge_attr
@@ -48,6 +57,8 @@ def gradient_weight_scalar(
     idx = receivers if scatter_to == "receivers" else senders
     node_w = masked_segment_sum(edge_w, idx, n, edge_mask)
     node_w = jnp.minimum(node_w, max_weight)
+    if min_weight is not None:
+        node_w = jnp.maximum(node_w, min_weight)
     if node_mask is not None:
         node_w = jnp.where(node_mask, node_w, 0.0)
     return jnp.sum(node_w)

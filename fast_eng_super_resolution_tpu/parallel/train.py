@@ -43,7 +43,7 @@ def batched_loss_parts(model, params, batch: GraphBatch):
         sq_sum = jnp.sum((pred - g.y) ** 2 * m)
         n_real = jnp.sum(m) * pred.shape[-1]
         w = gradient_weight_scalar(pred, g.y, g.senders, g.receivers, g.edge_attr,
-                                   g.edge_mask, g.node_mask)
+                                   g.edge_mask, g.node_mask, min_weight=0.0)
         linf = linf_loss(pred, g.y, g.node_mask)
         return sq_sum, n_real, w, linf
 
@@ -79,7 +79,8 @@ def merged_loss(model, params, graph: GraphBatch, kind: str = "gradient",
     sq_sum = jnp.sum((pred - graph.y) ** 2 * m)
     n_real = jnp.sum(m) * pred.shape[-1]
     w = gradient_weight_scalar(pred, graph.y, graph.senders, graph.receivers,
-                               graph.edge_attr, graph.edge_mask, graph.node_mask)
+                               graph.edge_attr, graph.edge_mask, graph.node_mask,
+                               min_weight=0.0)
     linf = linf_loss(pred, graph.y, graph.node_mask)
     return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
 

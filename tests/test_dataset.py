@@ -208,3 +208,28 @@ def test_ansys_missing_cases_skipped_gracefully(tmp_path):
                            n_high=(8, 4, 4), n_low=(5, 3, 3))
     assert ds2.num_meshes == 2  # the two remaining cases processed fine
     assert len(ds2.get_one_full_sample(1)) >= 1
+
+
+def test_synthetic_extra_cases_and_random_aspects(tmp_path):
+    """num_cases>4 extends the reference 4-case ladder with extra random-aspect
+    ducts (for generalization studies); aspect_seed makes aspects random but
+    deterministic."""
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    # naming/aspect logic (no heavy processing needed)
+    ds = SyntheticDataset.__new__(SyntheticDataset)
+    ds._num_cases, ds._aspect_seed = 6, 7
+    assert ds.raw_file_names == ["0degree", "20degree", "40degree", "60degree",
+                                 "case4", "case5"]
+    a0, a0b, a1 = ds._case_aspect(0), ds._case_aspect(0), ds._case_aspect(1)
+    assert a0 == a0b and a0 != a1 and 0.4 <= a0 <= 0.8
+    ds._aspect_seed = None
+    assert ds._case_aspect(2) == pytest.approx(0.5 + 0.16)
+
+    # a full (tiny) 5-case build round-trips through ETL + partition
+    ds5 = SyntheticDataset(root=str(tmp_path), partition=True, sub_size=2,
+                           n_high=(8, 4, 4), n_low=(5, 3, 3),
+                           num_cases=5, aspect_seed=3)
+    assert ds5.num_meshes == 5
+    subs = ds5.get_one_full_sample(4)
+    assert len(subs) >= 1 and np.isfinite(subs[0]["x"]).all()

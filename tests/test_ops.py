@@ -191,3 +191,37 @@ def test_teecnet_powerseries_kernel(rng):
     grads = jax.grad(loss)(params)
     gnorm = float(jnp.linalg.norm(grads["kernel"]["ps"]["conv0"]["root_param"]))
     assert gnorm > 0
+
+
+def test_training_loss_weight_floor(rng):
+    """The training path floors the gradient weight at 0 (ops/loss.py
+    min_weight): the reference clamps only from above (scheduler_gnn.py:493),
+    so a prediction whose gradients undershoot the target's everywhere gets a
+    NEGATIVE weight sum and descent then maximizes MSE (observed runaway to
+    ~-1e22 after ~100 epochs).  The faithful replica keeps the signed value."""
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.ops.loss import gradient_weight_scalar
+
+    g = make_random_graph(rng, n=30, e=100)
+    s, r, ea = g["senders"], g["receivers"], g["edge_attr"]
+    # target with steep gradients, constant prediction -> grad_pred - grad_tgt
+    # is -grad_tgt; make every channel-max negative
+    y = (np.arange(30, dtype=np.float32)[:, None] * np.ones((1, 4))) * 10
+    pred = np.zeros_like(y)
+    faithful = float(gradient_weight_scalar(pred, y, s, r, ea))
+    floored = float(gradient_weight_scalar(pred, y, s, r, ea, min_weight=0.0))
+    assert faithful < 0
+    assert floored >= 0.0  # per-node floor: the scalar can never go negative
+
+    # and the composite training loss can no longer go negative there
+    from fast_eng_super_resolution_tpu.core.graph import pad_graph
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import batched_loss
+    import jax
+
+    gp = pad_graph(pred, y, g["pos"], s, r, ea, 32, 128)
+    batch = jax.tree.map(lambda a: jnp.asarray(a)[None], gp)
+    model = KernelNN(width=8, ker_width=8, depth=2, in_width=4, out_width=4)
+    params = model.init(jax.random.PRNGKey(0))
+    assert float(batched_loss(model, params, batch)) >= 0.0
