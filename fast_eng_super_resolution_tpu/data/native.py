@@ -52,6 +52,13 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.extract_all.restype = ctypes.c_int64
+    lib.extract_all.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64)]
     lib.rcb_overlap_assign.restype = ctypes.c_int64
     lib.rcb_overlap_assign.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
@@ -131,6 +138,48 @@ def extract_subdomain_native(cells64: np.ndarray, cell_ids: np.ndarray):
     if rc != 0:
         return None
     return gids[: counts[0]].copy(), edges[: counts[1]].copy()
+
+
+def extract_all_native(cells64: np.ndarray, n_points: int,
+                       cell_lists: list[np.ndarray]):
+    """One-call extraction of EVERY partition's (gids, edges) — the
+    round-1 profile showed per-partition extract_subdomain calls (global
+    pair-key sort + binary searches) dominating >500k-node ETL.  The C++
+    side reuses an O(n_points) local-id map per worker and dedups edges in
+    per-receiver buckets.  Returns a list of (gids int64, edges [E,2] int32)
+    in ``cell_lists`` order, or None if the native lib is unavailable.
+    """
+    lib = _load()
+    if lib is None or cells64.ndim != 2 or cells64.shape[1] > 16:
+        return None
+    k = cells64.shape[1]
+    ppc = k * (k - 1)
+    offsets = np.zeros(len(cell_lists) + 1, np.int64)
+    np.cumsum([len(c) for c in cell_lists], out=offsets[1:])
+    csr_ids = (np.concatenate([np.ascontiguousarray(c, np.int64)
+                               for c in cell_lists])
+               if offsets[-1] else np.empty(0, np.int64))
+    total_cells = int(offsets[-1])
+    gids_buf = np.empty(total_cells * k, np.int64)
+    edges_buf = np.empty((total_cells * ppc, 2), np.int32)
+    counts = np.zeros(2 * len(cell_lists), np.int64)
+    rc = lib.extract_all(
+        cells64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k,
+        int(n_points),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        csr_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(cell_lists),
+        gids_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        edges_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    out = []
+    for p in range(len(cell_lists)):
+        g0, e0 = offsets[p] * k, offsets[p] * ppc
+        out.append((gids_buf[g0:g0 + counts[2 * p]].copy(),
+                    edges_buf[e0:e0 + counts[2 * p + 1]].copy()))
+    return out
 
 
 def rcb_overlap_assign_native(points: np.ndarray, cells: np.ndarray,

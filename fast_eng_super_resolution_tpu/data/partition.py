@@ -139,22 +139,35 @@ def extract_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
     cell_lists, _ = assign_cells(points, cells, num_parts, mode)
     cell_lists = [c for c in cell_lists if len(c)]
 
-    from .native import extract_subdomain_native
+    from .native import extract_all_native, extract_subdomain_native
 
     cells64 = (np.ascontiguousarray(cells, np.int64)
                if isinstance(cells, np.ndarray) and cells.ndim == 2 else None)
 
-    def extract(cell_ids):
-        native = (extract_subdomain_native(cells64, cell_ids)
+    # fast path: every partition in ONE native call (shared local-id map,
+    # per-receiver bucket dedup) — ~4x over per-partition calls at 500k nodes
+    all_native = (extract_all_native(cells64, points.shape[0], cell_lists)
                   if cells64 is not None else None)
+
+    def extract(cell_ids, precomputed=None):
+        native = (precomputed if precomputed is not None else
+                  (extract_subdomain_native(cells64, cell_ids)
+                   if cells64 is not None else None))
         if native is not None:
             gids, edges = native  # one-pass C++: unique+reindex+edges
-        else:
+        elif isinstance(cells, np.ndarray) and cells.ndim == 2:
             sub_cells = cells[cell_ids]
             gids = np.unique(sub_cells)
             local = np.full(points.shape[0], -1, np.int64)
             local[gids] = np.arange(len(gids))
             edges = cells_to_edges(local[sub_cells])
+        else:  # ragged cells (mixed element types): pure-Python fallback
+            sub_cells = [np.asarray(cells[int(i)], np.int64) for i in cell_ids]
+            gids = np.unique(np.concatenate(sub_cells)) if sub_cells \
+                else np.empty(0, np.int64)
+            local = np.full(points.shape[0], -1, np.int64)
+            local[gids] = np.arange(len(gids))
+            edges = cells_to_edges([local[c] for c in sub_cells])
         pos = points[gids]
         return Subdomain(
             x=x[gids].astype(np.float32), y=y[gids].astype(np.float32),
@@ -164,6 +177,10 @@ def extract_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
             global_node_ids=gids.astype(np.int64),
             cell_ids=np.asarray(cell_ids, np.int64),
         )
+
+    if all_native is not None:
+        return [extract(c, precomputed=pre)
+                for c, pre in zip(cell_lists, all_native)]
 
     if num_workers == 1 or len(cell_lists) <= 1:
         return [extract(c) for c in cell_lists]

@@ -226,6 +226,113 @@ int64_t extract_subdomain(const int64_t* cells, int64_t k,
   return 0;
 }
 
+// One-call extraction for ALL partitions (the round-1 profile showed the
+// per-partition extract_subdomain calls dominating >500k-node ETL: a global
+// sort over ~35M packed pair keys plus a binary search per cell-node).  This
+// variant keeps an O(n_points) local-id map per worker thread, reused across
+// its partitions (reset via a touched list, not a full clear), and dedups
+// edges with per-receiver buckets — O(E) passes with tiny per-bucket sorts
+// instead of one giant sort.
+//
+// csr_offsets: [num_parts + 1]; csr_ids: concatenated cell ids per partition.
+// Outputs are written at per-partition UPPER-BOUND offsets (gids at
+// csr_off*k, edge pairs at csr_off*k*(k-1)) so threads write disjoint
+// regions; out_counts[2p], out_counts[2p+1] give the actual {n_gids,
+// n_edges} and the caller compacts.  Output ordering per partition matches
+// extract_subdomain exactly: gids sorted-unique ascending; edges dedup'd,
+// receiver-major (receiver ascending, then sender ascending).
+// Returns 0, or -1 if n_points/node ids exceed int32 range or k > 16.
+int64_t extract_all(const int64_t* cells, int64_t k, int64_t n_points,
+                    const int64_t* csr_offsets, const int64_t* csr_ids,
+                    int num_parts, int64_t* out_gids, int32_t* out_edges,
+                    int64_t* out_counts) {
+  if (n_points >= (int64_t(1) << 31) || k > 16) return -1;
+  const int64_t ppc = k * (k - 1);  // ordered pairs per cell
+
+  parallel_for(num_parts, [&](int64_t p_lo, int64_t p_hi) {
+    std::vector<int32_t> local(n_points, -1);  // global id -> local rank
+    std::vector<int64_t> touched;
+    std::vector<int32_t> bucket_off;   // per-receiver slot cursor / offsets
+    std::vector<int32_t> senders_buf;  // receiver-bucketed sender ids
+
+    for (int64_t p = p_lo; p < p_hi; ++p) {
+      const int64_t c_lo = csr_offsets[p], c_hi = csr_offsets[p + 1];
+      int64_t* gids = out_gids + csr_offsets[p] * k;
+      int32_t* edges = out_edges + 2 * csr_offsets[p] * ppc;
+
+      // 1. unique global ids (sorted) + local ranks in the reusable map
+      touched.clear();
+      for (int64_t c = c_lo; c < c_hi; ++c) {
+        const int64_t* cell = cells + csr_ids[c] * k;
+        for (int64_t j = 0; j < k; ++j) {
+          int64_t g = cell[j];
+          if (local[g] < 0) {
+            local[g] = 0;
+            touched.push_back(g);
+          }
+        }
+      }
+      std::sort(touched.begin(), touched.end());
+      const int64_t n_gids = static_cast<int64_t>(touched.size());
+      for (int64_t r = 0; r < n_gids; ++r) {
+        gids[r] = touched[r];
+        local[touched[r]] = static_cast<int32_t>(r);
+      }
+
+      // 2. receiver degrees (each cell gives every member k-1 in-slots)
+      bucket_off.assign(n_gids + 1, 0);
+      for (int64_t c = c_lo; c < c_hi; ++c) {
+        const int64_t* cell = cells + csr_ids[c] * k;
+        for (int64_t j = 0; j < k; ++j)
+          bucket_off[local[cell[j]] + 1] += static_cast<int32_t>(k - 1);
+      }
+      for (int64_t r = 0; r < n_gids; ++r) bucket_off[r + 1] += bucket_off[r];
+      senders_buf.resize(bucket_off[n_gids]);
+
+      // 3. scatter senders into their receiver's bucket
+      for (int64_t c = c_lo; c < c_hi; ++c) {
+        const int64_t* cell = cells + csr_ids[c] * k;
+        int32_t l[16];
+        for (int64_t j = 0; j < k; ++j) l[j] = local[cell[j]];
+        for (int64_t j = 0; j < k; ++j) {
+          int32_t* slot = senders_buf.data() + bucket_off[local[cell[j]]];
+          int32_t wrote = 0;
+          for (int64_t i = 0; i < k; ++i)
+            if (i != j) slot[wrote++] = l[i];
+          bucket_off[local[cell[j]]] += wrote;
+        }
+      }
+      // bucket_off[r] now points at bucket END of receiver r (== start of
+      // r+1's original offset); recover starts by walking backwards.
+      // start(r) = bucket_off[r-1] for r>0, 0 for r=0 — post-increment above
+      // shifted each entry to its end.
+
+      // 4. per-bucket sort+unique, emit receiver-major
+      int64_t n_edges = 0;
+      int32_t start = 0;
+      for (int64_t r = 0; r < n_gids; ++r) {
+        int32_t end = bucket_off[r];
+        std::sort(senders_buf.begin() + start, senders_buf.begin() + end);
+        int32_t prev = -1;
+        for (int32_t s = start; s < end; ++s) {
+          int32_t snd = senders_buf[s];
+          if (snd == prev || snd == static_cast<int32_t>(r)) continue;
+          prev = snd;
+          edges[2 * n_edges] = snd;
+          edges[2 * n_edges + 1] = static_cast<int32_t>(r);
+          ++n_edges;
+        }
+        start = end;
+      }
+
+      out_counts[2 * p] = n_gids;
+      out_counts[2 * p + 1] = n_edges;
+      for (int64_t g : touched) local[g] = -1;  // cheap reset, map reused
+    }
+  });
+  return 0;
+}
+
 // Overlap-mode assignment: cell -> every region whose box intersects the
 // cell's AABB.  cell_lo/cell_hi: [n * 3]; boxes: [num_parts * 6].
 // out: [n * num_parts] uint8 membership matrix.

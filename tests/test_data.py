@@ -171,3 +171,24 @@ def test_legacy_uniform_box_partitioner():
     assert len(covered) == len(mesh.points)
     for s in subs[:3]:
         assert s.senders.max() < len(s.global_node_ids)
+
+
+def test_extract_subdomains_ragged_cells():
+    """Mixed-element (ragged list) cells must go through the pure-Python
+    fallback and produce the same subdomain graphs as uniform ndarray cells
+    (crashed with TypeError before the extract_all change surfaced it)."""
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(8, 4, 4)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    subs_arr = extract_subdomains(mesh.points, mesh.cells, y, y, 2, "one_region")
+    subs_rag = extract_subdomains(mesh.points, [list(c) for c in mesh.cells],
+                                  y, y, 2, "one_region")
+    assert len(subs_arr) == len(subs_rag)
+    for a, b in zip(subs_arr, subs_rag):
+        np.testing.assert_array_equal(a.global_node_ids, b.global_node_ids)
+        ea = np.unique(np.stack([a.senders, a.receivers], 1), axis=0)
+        eb = np.unique(np.stack([b.senders, b.receivers], 1), axis=0)
+        np.testing.assert_array_equal(ea, eb)

@@ -72,3 +72,26 @@ def test_full_pipeline_uses_native_transparently(lib_available):
     subs = extract_subdomains(mesh.points, mesh.cells, y, y, 4, "all_intersecting")
     covered = np.unique(np.concatenate([s.global_node_ids for s in subs]))
     assert len(covered) == len(mesh.points)
+
+
+def test_extract_all_matches_per_partition(lib_available, rng):
+    """One-call extract_all must be bit-identical to per-partition
+    extract_subdomain (same sorted gids, same receiver-major dedup'd edges),
+    including empty partitions and duplicate node ids within a cell."""
+    from fast_eng_super_resolution_tpu.data import native
+
+    cells = rng.integers(0, 300, size=(500, 4)).astype(np.int64)
+    cells[7, 1] = cells[7, 0]  # degenerate cell: repeated node
+    lists = [rng.choice(500, size=int(rng.integers(1, 250)), replace=False)
+             for _ in range(5)] + [np.empty(0, np.int64)]
+    outs = native.extract_all_native(cells, 300, lists)
+    assert outs is not None and len(outs) == len(lists)
+    for cl, (g, e) in zip(lists, outs):
+        if len(cl) == 0:
+            assert len(g) == 0 and len(e) == 0
+            continue
+        rg, re_ = native.extract_subdomain_native(cells, cl)
+        np.testing.assert_array_equal(g, rg)
+        np.testing.assert_array_equal(e, re_)
+        # receiver-major sortedness invariant relied on by the scatter path
+        assert (np.diff(e[:, 1]) >= 0).all()
