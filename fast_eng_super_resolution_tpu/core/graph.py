@@ -103,10 +103,14 @@ def pad_graph(
     # sort edges by receiver: padded edges (receiver = n_pad-1) land at the
     # tail, so segment ids are globally ascending — models constructed with
     # edges_sorted=True then get the faster TPU sorted-scatter lowering
-    order = np.argsort(receivers, kind="stable")
-    senders = np.asarray(senders)[order]
-    receivers = np.asarray(receivers)[order]
-    edge_attr = np.asarray(edge_attr)[order]
+    receivers = np.asarray(receivers)
+    if not (len(receivers) and np.all(receivers[:-1] <= receivers[1:])):
+        # native extract paths already emit receiver-major edges; only
+        # reorder when the input isn't sorted (saves 3 big gathers at 1M+)
+        order = np.argsort(receivers, kind="stable")
+        senders = np.asarray(senders)[order]
+        receivers = receivers[order]
+        edge_attr = np.asarray(edge_attr)[order]
     a = edge_attr.shape[1]
     c_out = y.shape[1] if y is not None else (out_channels or c_in)
 
