@@ -417,5 +417,11 @@ def init_dataset(name: str, root: str, **kwargs):
         return AnsysDataset(root=root, **kwargs)
     elif name == "synthetic":
         return SyntheticDataset(root=root, **kwargs)
+    elif name == "turbulence_grid":
+        from .grid_dataset import TurbulenceGridDataset
+        return TurbulenceGridDataset(root=root, **kwargs)
+    elif name == "advected_grid":
+        from .grid_dataset import AdvectedScalarDataset
+        return AdvectedScalarDataset(root=root, **kwargs)
     else:
         raise ValueError(f"Invalid dataset name: {name}")
