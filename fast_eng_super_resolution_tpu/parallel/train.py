@@ -85,6 +85,28 @@ def merged_loss(model, params, graph: GraphBatch, kind: str = "gradient",
     return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
 
 
+def stack_batches(batches):
+    """Stacks same-shape batch pytrees along a new leading axis for
+    ``Trainer.epoch`` (single-dispatch epochs).  One host->device transfer
+    per leaf.  Returns None when batch shapes differ (mixed buckets /
+    remainder batch) — callers fall back to per-batch stepping."""
+    if not batches:
+        return None
+    import numpy as np
+
+    flat0, treedef0 = jax.tree_util.tree_flatten(batches[0])
+    shapes0 = [np.shape(l) for l in flat0]
+    stacked_leaves = [[np.asarray(l)] for l in flat0]
+    for b in batches[1:]:
+        flat, treedef = jax.tree_util.tree_flatten(b)
+        if treedef != treedef0 or [np.shape(l) for l in flat] != shapes0:
+            return None
+        for acc, leaf in zip(stacked_leaves, flat):
+            acc.append(np.asarray(leaf))
+    return jax.tree_util.tree_unflatten(
+        treedef0, [jnp.asarray(np.stack(ls)) for ls in stacked_leaves])
+
+
 @dataclasses.dataclass
 class Trainer:
     """Owns the jit'd step/eval functions and host-side LR control."""
@@ -114,8 +136,27 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        def epoch_step(params, opt_state, stacked, order):
+            # one dispatch per EPOCH: lax.scan over a permutation of batch
+            # indices into same-shape stacked batches.  Jitted dispatches
+            # already pipeline asynchronously; the measured win is dropping
+            # the per-batch float(loss) host sync to one per epoch (1.3x at
+            # 2 batches/epoch on a tunneled v5e, growing with batch count).
+            # The reference steps batch-by-batch from Python with a per-batch
+            # .item() sync (scheduler_gnn.py:148-160).
+            def body(carry, i):
+                p, o = carry
+                batch = jax.tree_util.tree_map(lambda a: a[i], stacked)
+                p, o, loss = step(p, o, batch)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), order)
+            return params, opt_state, losses
+
         donate = (0, 1) if self.donate else ()
         self._step = jax.jit(step, donate_argnums=donate)
+        self._epoch = jax.jit(epoch_step, donate_argnums=donate)
         self._eval = jax.jit(loss_fn)
 
         if self.layout == "merged":
@@ -138,6 +179,17 @@ class Trainer:
 
     def step(self, params, opt_state, batch):
         return self._step(params, opt_state, batch)
+
+    def epoch(self, params, opt_state, stacked, order):
+        """One full epoch in a single dispatch.
+
+        ``stacked``: a batch pytree with an extra leading axis over
+        same-shape batches (see ``stack_batches``); ``order``: int32 index
+        array, typically a fresh permutation per epoch.  Returns
+        (params, opt_state, per-step losses [len(order)]).
+        """
+        return self._epoch(params, opt_state, stacked,
+                           jnp.asarray(order, jnp.int32))
 
     def evaluate(self, params, batch) -> float:
         return float(self._eval(params, batch))

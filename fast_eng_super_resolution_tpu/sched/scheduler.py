@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core import checkpoint as ckpt
@@ -31,7 +32,8 @@ from ..core.graph import BucketSpec, pad_and_bucket
 from ..ops.loss import compute_node_weight
 from ..parallel.dispatch import make_routed_apply, stack_params
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate, shard_batch
-from ..parallel.train import ReduceLROnPlateau, StepLR, Trainer, train_val_split
+from ..parallel.train import (ReduceLROnPlateau, StepLR, Trainer,
+                              stack_batches, train_val_split)
 from ..utils.logging import MetricLogger
 
 
@@ -215,14 +217,25 @@ class PartitionScheduler:
             val_interval = train_config.get("val_interval", 10)
             rng = np.random.default_rng(seed)
             last_good = jax.device_get(params)
+            # single-dispatch epochs when every batch has the same shape
+            # (one bucket, no remainder): a 0.5 s/call tunneled chip then
+            # costs one dispatch per epoch instead of one per batch
+            stacked = (stack_batches([b for _, b in train_batches])
+                       if self.mesh is None else None)
             for epoch in range(start_epoch, epochs):
                 order = rng.permutation(len(train_batches))
-                train_loss = 0.0
-                for b in order:
-                    _, batch = train_batches[b]
-                    params, opt_state, loss = trainer.step(params, opt_state, batch)
-                    train_loss += float(loss)
-                train_loss /= max(len(train_batches), 1)
+                if stacked is not None:
+                    params, opt_state, losses = trainer.epoch(
+                        params, opt_state, stacked, order)
+                    train_loss = float(jnp.mean(losses))
+                else:
+                    train_loss = 0.0
+                    for b in order:
+                        _, batch = train_batches[b]
+                        params, opt_state, loss = trainer.step(params, opt_state,
+                                                               batch)
+                        train_loss += float(loss)
+                    train_loss /= max(len(train_batches), 1)
                 if not np.isfinite(train_loss):
                     # NaN guard: roll back to last finite params, halve the LR
                     # (failure-recovery subsystem; reference has none, SURVEY §5)
