@@ -159,3 +159,40 @@ def test_merged_layout_trainer_matches_batched():
     fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(pb)])
     fb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(pm)])
     np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=1e-6)
+
+
+def test_epoch_scan_matches_step_loop():
+    """Trainer.epoch (single-dispatch lax.scan over stacked batches) must be
+    numerically identical to the per-batch step loop, and stack_batches must
+    refuse unequal shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer, stack_batches
+
+    b1 = _make_batch(4, seed=0)
+    b2 = jax.tree_util.tree_map(lambda a: a, b1)  # same shapes, same content ok
+    model = KernelNN(width=8, ker_width=8, depth=2, in_width=4, out_width=4)
+    tr = Trainer(model, lr=1e-3, donate=False)
+    params, opt = tr.init(jax.random.PRNGKey(0))
+
+    stacked = stack_batches([b1, b2])
+    assert stacked is not None
+    order = np.array([1, 0])
+
+    p_a, o_a = params, opt
+    losses_a = []
+    for i in order:
+        p_a, o_a, l = tr.step(p_a, o_a, [b1, b2][i])
+        losses_a.append(float(l))
+    p_b, o_b, losses_b = tr.epoch(params, opt, stacked, order)
+    np.testing.assert_allclose(np.asarray(losses_b), losses_a, rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
+                                   atol=1e-7)
+
+    # unequal shapes -> no stacking (caller falls back)
+    smaller = jax.tree_util.tree_map(lambda a: a[:2], b1)
+    assert stack_batches([b1, smaller]) is None
+    assert stack_batches([]) is None
