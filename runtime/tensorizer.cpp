@@ -248,6 +248,7 @@ int64_t extract_all(const int64_t* cells, int64_t k, int64_t n_points,
                     int64_t* out_counts) {
   if (n_points >= (int64_t(1) << 31) || k > 16) return -1;
   const int64_t ppc = k * (k - 1);  // ordered pairs per cell
+  std::atomic<int> overflow{0};
 
   parallel_for(num_parts, [&](int64_t p_lo, int64_t p_hi) {
     std::vector<int32_t> local(n_points, -1);  // global id -> local rank
@@ -257,6 +258,10 @@ int64_t extract_all(const int64_t* cells, int64_t k, int64_t n_points,
 
     for (int64_t p = p_lo; p < p_hi; ++p) {
       const int64_t c_lo = csr_offsets[p], c_hi = csr_offsets[p + 1];
+      if ((c_hi - c_lo) * ppc > INT32_MAX) {  // bucket cursors are int32
+        overflow.store(1);
+        continue;
+      }
       int64_t* gids = out_gids + csr_offsets[p] * k;
       int32_t* edges = out_edges + 2 * csr_offsets[p] * ppc;
 
@@ -330,7 +335,7 @@ int64_t extract_all(const int64_t* cells, int64_t k, int64_t n_points,
       for (int64_t g : touched) local[g] = -1;  // cheap reset, map reused
     }
   });
-  return 0;
+  return overflow.load() ? -1 : 0;
 }
 
 // Overlap-mode assignment: cell -> every region whose box intersects the
