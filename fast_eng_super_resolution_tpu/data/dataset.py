@@ -242,6 +242,21 @@ class AnsysDataset(_PartitionedGraphDataset):
                 total += len(f[key].keys())
         return total
 
+    def mesh_subdomain_indices(self, mesh_idx: int) -> np.ndarray:
+        """Flat dataset indices of one mesh's subdomains — lets callers build
+        mesh-level train/held-out splits (e.g. the ``train_meshes`` exp-config
+        key; capability absent from the reference, which always trains on the
+        full dataset)."""
+        with self._h5() as f:
+            keys = sorted(f.keys(), key=lambda s: int(s.split("_")[1]))
+            start = 0
+            for key in keys:
+                n = len(f[key].keys())
+                if key == f"mesh_{mesh_idx}":
+                    return np.arange(start, start + n, dtype=np.int64)
+                start += n
+        raise IndexError(f"mesh_{mesh_idx} not in partition cache")
+
     def get(self, idx: int) -> dict:
         """Flat subdomain indexing across meshes (cf. GraphDataset.py:772-797;
         the reference's hardcoded 4-subdomain assumption at :776-780 is a bug —

@@ -108,8 +108,21 @@ def main(args, default_sub_size_kw: bool = False):
     print("Dataset loaded!")
 
     if args.mode == "train":
-        train_graph_ALDD(args.exp_name, model, dataset, n_clusters, train_config,
-                         **kwargs)
+        train_dataset = dataset
+        train_meshes = exp_config.get("train_meshes")
+        if train_meshes is not None:
+            # mesh-level held-out split (beyond-parity: the reference always
+            # trains on every subdomain) — training sees only these meshes;
+            # pred mode still reaches all meshes via ``idxs``
+            from .data.subsets import SubGraphDataset
+
+            flat = np.concatenate([dataset.mesh_subdomain_indices(m)
+                                   for m in train_meshes])
+            train_dataset = SubGraphDataset(dataset, flat)
+            print(f"Training restricted to meshes {list(train_meshes)} "
+                  f"({len(flat)} subdomains)")
+        train_graph_ALDD(args.exp_name, model, train_dataset, n_clusters,
+                         train_config, **kwargs)
     elif args.mode in ("pred", "predict"):  # README says 'predict', code 'pred'
         pred_graph_ALDD(exp_config["idxs"], args.exp_name, model, dataset,
                         n_clusters, exp_config.get("save_mode", "save_png"),

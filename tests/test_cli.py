@@ -190,3 +190,43 @@ def test_cli_predict_with_divergence_smoothing(workdir, exp_config):
 
     g = read_vtu(os.path.join(workdir, "logs", "vtk", "cli_test", "pred_0.vtu"))
     assert np.isfinite(g["point_data"]["velocity"]).all()
+
+
+def test_cli_train_meshes_heldout_split(workdir):
+    """train_meshes exp-config key restricts training to listed meshes while
+    pred reaches any mesh via idxs — the CLI held-out protocol (measured
+    15-17x on unseen meshes, BASELINE.md).  Capability absent from the
+    reference (always trains on every subdomain)."""
+    exp = os.path.join(workdir, "exp_ho.yaml")
+    with open(exp, "w") as f:
+        f.write(f"""
+n_clusters: 1
+save_mode: 'save_png'
+n_components: 2
+domain_size: 0.03
+in_channels: 4
+out_channels: 4
+width: 12
+num_powers: 3
+retrieve_weight: False
+num_layers: 3
+root: '{workdir}/data_ho'
+partition: True
+sub_size: 4
+idxs: [3]
+train_meshes: [0, 1]
+""")
+    train = os.path.join(workdir, "train_ho.yaml")
+    with open(train, "w") as f:
+        f.write("epochs: 2\nbatch_size: 8\nlr: 0.002\nstep_size: 30\n"
+                "gamma: 0.1\nlog_interval: 5\nval_interval: 1\n")
+    r = _run(["run_DS_3D.py", "--mode=train", "--model=neuralop",
+              "--dataset=synthetic", "--exp_name=ho", f"--exp_config={exp}",
+              f"--train_config={train}"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Training restricted to meshes [0, 1] (8 subdomains)" in r.stdout
+    r = _run(["run_DS_3D.py", "--mode=pred", "--model=neuralop",
+              "--dataset=synthetic", "--exp_name=ho", f"--exp_config={exp}",
+              f"--train_config={train}"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(workdir, "logs/vtk/ho/pred_3.vtu"))
