@@ -218,8 +218,8 @@ class PartitionScheduler:
             rng = np.random.default_rng(seed)
             last_good = jax.device_get(params)
             # single-dispatch epochs when every batch has the same shape
-            # (one bucket, no remainder): a 0.5 s/call tunneled chip then
-            # costs one dispatch per epoch instead of one per batch
+            # (one bucket, no remainder): drops the per-batch float(loss)
+            # host sync to one per epoch (parallel/train.py:epoch_step)
             stacked = (stack_batches([b for _, b in train_batches])
                        if self.mesh is None else None)
             for epoch in range(start_epoch, epochs):
