@@ -94,13 +94,26 @@ int64_t cells_to_edges(const int64_t* cells, int64_t num_cells, int64_t k,
   return count;
 }
 
+// One node of the RCB cut tree (recorded so overlap assignment can descend
+// cell AABBs in O(log parts + memberships) instead of testing every box —
+// the all-pairs test was O(cells x parts): 12e9 box checks and a 12 GB
+// membership matrix at 23M cells / 512 parts).
+struct RcbNode {
+  int axis;
+  double cut;
+  int32_t left, right;  // child node indices (internal nodes)
+  int32_t label;        // >= 0 for leaves, -1 for internal
+};
+
 // Recursive coordinate bisection over points (e.g. cell centroids).
 // points: [n * 3] float64.  out_assign: [n] int32 region labels.
 // out_boxes: [num_parts * 6] float64 (min xyz, max xyz per region).
-static void rcb_split(const double* pts, std::vector<int64_t>& idx,
-                      int64_t lo, int64_t hi, int parts, int* next_label,
-                      int32_t* assign, double* boxes, const double* box_lo,
-                      const double* box_hi) {
+// Returns this subtree's node index in *tree (or -1 when tree == nullptr).
+static int rcb_split(const double* pts, std::vector<int64_t>& idx,
+                     int64_t lo, int64_t hi, int parts, int* next_label,
+                     int32_t* assign, double* boxes, const double* box_lo,
+                     const double* box_hi,
+                     std::vector<RcbNode>* tree = nullptr) {
   if (parts == 1) {
     int label = (*next_label)++;
     for (int64_t i = lo; i < hi; ++i) assign[idx[i]] = label;
@@ -108,7 +121,11 @@ static void rcb_split(const double* pts, std::vector<int64_t>& idx,
       boxes[label * 6 + d] = box_lo[d];
       boxes[label * 6 + 3 + d] = box_hi[d];
     }
-    return;
+    if (tree) {
+      tree->push_back({0, 0.0, -1, -1, label});
+      return static_cast<int>(tree->size()) - 1;
+    }
+    return -1;
   }
   int n_left = parts / 2;
   int64_t count = hi - lo;
@@ -145,9 +162,15 @@ static void rcb_split(const double* pts, std::vector<int64_t>& idx,
   std::memcpy(hi_r, box_hi, sizeof(hi_r));
   hi_l[axis] = cut;
   lo_r[axis] = cut;
-  rcb_split(pts, idx, lo, lo + k, n_left, next_label, assign, boxes, lo_l, hi_l);
-  rcb_split(pts, idx, lo + k, hi, parts - n_left, next_label, assign, boxes,
-            lo_r, hi_r);
+  int left = rcb_split(pts, idx, lo, lo + k, n_left, next_label, assign, boxes,
+                       lo_l, hi_l, tree);
+  int right = rcb_split(pts, idx, lo + k, hi, parts - n_left, next_label,
+                        assign, boxes, lo_r, hi_r, tree);
+  if (tree) {
+    tree->push_back({axis, cut, left, right, -1});
+    return static_cast<int>(tree->size()) - 1;
+  }
+  return -1;
 }
 
 void rcb_assign(const double* points, int64_t n, int num_parts,
@@ -396,7 +419,22 @@ int64_t rcb_overlap_assign(const float* points, const int64_t* cells,
   });
 
   std::vector<int32_t> assign(n_cells);
-  rcb_assign(centroids.data(), n_cells, num_parts, assign.data(), out_boxes);
+  std::vector<RcbNode> tree;
+  int root;
+  {
+    std::vector<int64_t> idxv(n_cells);
+    for (int64_t i = 0; i < n_cells; ++i) idxv[i] = i;
+    double glo[3] = {1e300, 1e300, 1e300}, ghi[3] = {-1e300, -1e300, -1e300};
+    for (int64_t i = 0; i < n_cells; ++i) {
+      for (int d = 0; d < 3; ++d) {
+        glo[d] = std::min(glo[d], centroids[i * 3 + d]);
+        ghi[d] = std::max(ghi[d], centroids[i * 3 + d]);
+      }
+    }
+    int next_label = 0;
+    root = rcb_split(centroids.data(), idxv, 0, n_cells, num_parts,
+                     &next_label, assign.data(), out_boxes, glo, ghi, &tree);
+  }
 
   if (!mode_overlap) {
     std::vector<int64_t> counts(num_parts, 0);
@@ -409,37 +447,71 @@ int64_t rcb_overlap_assign(const float* points, const int64_t* cells,
     return out_offsets[num_parts];
   }
 
-  // overlap: membership by box intersection, counted then filled (threaded
-  // count pass; serial prefix; threaded fill via per-part atomics-free
-  // second count because cells iterate in order per thread chunk we instead
-  // fill serially — the fill is memory-bound and fast).
-  std::vector<int64_t> counts(num_parts, 0);
-  std::vector<uint8_t> member(n_cells * num_parts);
-  parallel_for(n_cells, [&](int64_t a, int64_t b) {
-    for (int64_t c = a; c < b; ++c) {
-      for (int p = 0; p < num_parts; ++p) {
-        const double* blo = out_boxes + p * 6;
-        const double* bhi = out_boxes + p * 6 + 3;
-        bool hit = true;
-        for (int d = 0; d < 3; ++d) {
-          if (hi[c * 3 + d] < blo[d] || lo[c * 3 + d] > bhi[d]) {
-            hit = false;
-            break;
-          }
-        }
-        member[c * num_parts + p] = hit ? 1 : 0;
+  // overlap: descend each cell's AABB through the recorded cut tree —
+  // O(cells * (log parts + memberships)) and no n_cells x num_parts
+  // membership matrix.  Semantics identical to all-pairs box intersection
+  // with inclusive bounds: a subtree's box is the intersection of the cut
+  // halfspaces along its path, and cell AABBs (built from in-bounds mesh
+  // points) always intersect the root box.  Two chunked passes (count,
+  // fill) keep out_ids ascending-by-cell within each partition, matching
+  // the previous serial fill.
+  const int64_t nchunk =
+      std::min<int64_t>(hardware_threads(), std::max<int64_t>(n_cells, 1));
+  const int64_t chunk = (n_cells + nchunk - 1) / nchunk;
+  std::vector<std::vector<int64_t>> chunk_counts(
+      nchunk, std::vector<int64_t>(num_parts, 0));
+
+  auto for_each_membership = [&](int64_t c, auto&& emit) {
+    int32_t stack[2048];  // iterative DFS peak = tree depth + 1 (<= ~32)
+    int sp = 0;
+    stack[sp++] = root;
+    const double* clo = lo.data() + c * 3;
+    const double* chi = hi.data() + c * 3;
+    while (sp) {
+      const RcbNode& nd = tree[stack[--sp]];
+      if (nd.label >= 0) {
+        emit(nd.label);
+        continue;
       }
+      if (clo[nd.axis] <= nd.cut) stack[sp++] = nd.left;
+      if (chi[nd.axis] >= nd.cut) stack[sp++] = nd.right;
+    }
+  };
+
+  parallel_for(nchunk, [&](int64_t ta, int64_t tb) {
+    for (int64_t t = ta; t < tb; ++t) {
+      int64_t* cnt = chunk_counts[t].data();
+      const int64_t c_hi = std::min(n_cells, (t + 1) * chunk);
+      for (int64_t c = t * chunk; c < c_hi; ++c)
+        for_each_membership(c, [&](int32_t p) { ++cnt[p]; });
     }
   });
-  for (int64_t c = 0; c < n_cells; ++c)
-    for (int p = 0; p < num_parts; ++p) counts[p] += member[c * num_parts + p];
   out_offsets[0] = 0;
-  for (int p = 0; p < num_parts; ++p) out_offsets[p + 1] = out_offsets[p] + counts[p];
+  for (int p = 0; p < num_parts; ++p) {
+    int64_t total = 0;
+    for (int64_t t = 0; t < nchunk; ++t) total += chunk_counts[t][p];
+    out_offsets[p + 1] = out_offsets[p] + total;
+  }
   if (out_offsets[num_parts] > ids_cap) return -1;
-  std::vector<int64_t> cursor(out_offsets, out_offsets + num_parts);
-  for (int64_t c = 0; c < n_cells; ++c)
-    for (int p = 0; p < num_parts; ++p)
-      if (member[c * num_parts + p]) out_ids[cursor[p]++] = c;
+
+  // per-(chunk, part) write cursors: partition offset + earlier chunks
+  std::vector<std::vector<int64_t>> cursor(
+      nchunk, std::vector<int64_t>(num_parts));
+  for (int p = 0; p < num_parts; ++p) {
+    int64_t at = out_offsets[p];
+    for (int64_t t = 0; t < nchunk; ++t) {
+      cursor[t][p] = at;
+      at += chunk_counts[t][p];
+    }
+  }
+  parallel_for(nchunk, [&](int64_t ta, int64_t tb) {
+    for (int64_t t = ta; t < tb; ++t) {
+      int64_t* cur = cursor[t].data();
+      const int64_t c_hi = std::min(n_cells, (t + 1) * chunk);
+      for (int64_t c = t * chunk; c < c_hi; ++c)
+        for_each_membership(c, [&](int32_t p) { out_ids[cur[p]++] = c; });
+    }
+  });
   return out_offsets[num_parts];
 }
 
