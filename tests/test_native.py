@@ -95,3 +95,25 @@ def test_extract_all_matches_per_partition(lib_available, rng):
         np.testing.assert_array_equal(e, re_)
         # receiver-major sortedness invariant relied on by the scatter path
         assert (np.diff(e[:, 1]) >= 0).all()
+
+
+def test_overlap_tree_descent_matches_all_pairs(lib_available):
+    """rcb_overlap_assign's cut-tree descent must produce exactly the
+    all-pairs box-intersection membership (inclusive bounds), in ascending
+    cell order per partition — including odd part counts (unbalanced tree)."""
+    from fast_eng_super_resolution_tpu.data import native
+    from fast_eng_super_resolution_tpu.data.synthetic import make_duct_mesh
+
+    for dims, parts in [((10, 5, 5), 4), ((12, 6, 6), 16), ((8, 4, 4), 3)]:
+        m = make_duct_mesh(*dims)
+        lists, boxes = native.rcb_overlap_assign_native(m.points, m.cells,
+                                                        parts, overlap=True)
+        pts = m.points[m.cells]
+        clo = pts.min(1).astype(np.float64)
+        chi = pts.max(1).astype(np.float64)
+        member = native.box_intersect_native(clo, chi, boxes)
+        for p in range(parts):
+            np.testing.assert_array_equal(np.sort(lists[p]),
+                                          np.where(member[:, p])[0])
+            if len(lists[p]):
+                assert (np.diff(lists[p]) > 0).all()
