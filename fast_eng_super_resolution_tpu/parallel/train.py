@@ -273,6 +273,19 @@ class StepLR:
         return self.lr0 * (self.gamma ** (epoch // self.step_size))
 
 
+class CosineLR:
+    """Half-cosine decay from ``lr`` to ``min_lr`` over ``total`` epochs
+    (beyond-parity: the reference offers only StepLR / a broken plateau)."""
+
+    def __init__(self, lr: float, total: int, min_lr: float = 0.0):
+        self.lr0, self.total, self.min_lr = lr, max(total, 1), min_lr
+
+    def __call__(self, epoch: int) -> float:
+        t = min(max(epoch, 0), self.total) / self.total
+        return self.min_lr + 0.5 * (self.lr0 - self.min_lr) * (
+            1.0 + float(np.cos(np.pi * t)))
+
+
 class ReduceLROnPlateau:
     """torch ReduceLROnPlateau(mode='min', factor=0.5, patience=5) equivalent
     (scheduler_gnn.py:140)."""

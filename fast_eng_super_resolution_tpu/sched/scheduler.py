@@ -32,8 +32,8 @@ from ..core.graph import BucketSpec, pad_and_bucket
 from ..ops.loss import compute_node_weight
 from ..parallel.dispatch import make_routed_apply, stack_params
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate, shard_batch
-from ..parallel.train import (ReduceLROnPlateau, StepLR, Trainer,
-                              stack_batches, train_val_split)
+from ..parallel.train import (CosineLR, ReduceLROnPlateau, StepLR,
+                              Trainer, stack_batches, train_val_split)
 from ..utils.logging import MetricLogger
 
 
@@ -205,11 +205,18 @@ class PartitionScheduler:
             if self.mesh is not None:
                 params = replicate(params, self.mesh)
 
-            if lr_schedule == "plateau":
+            schedule_name = train_config.get("lr_schedule", lr_schedule)
+            if schedule_name == "plateau":
                 sched = ReduceLROnPlateau(train_config["lr"])  # :140
-            else:
+            elif schedule_name == "cosine":
+                sched = CosineLR(train_config["lr"], train_config["epochs"],
+                                 train_config.get("min_lr", 0.0))
+            elif schedule_name == "step":
                 sched = StepLR(train_config["lr"], train_config.get("step_size", 30),
                                train_config.get("gamma", 0.1))  # :392-394
+            else:
+                raise ValueError(f"unknown lr_schedule {schedule_name!r} "
+                                 "(expected step | plateau | cosine)")
 
             best_loss = np.inf
             epochs = train_config["epochs"]
@@ -263,7 +270,7 @@ class PartitionScheduler:
                                        extra={"epoch": epoch, "best_loss": best_loss})
                         print(f"Epoch {epoch}: Validation loss: {val_loss}")
                         self._maybe_plot_val(trainer, params, val_batches, i, epoch)
-                if lr_schedule == "plateau":
+                if schedule_name == "plateau":
                     new_lr = sched.update(train_loss)
                 else:
                     new_lr = sched(epoch + 1)
