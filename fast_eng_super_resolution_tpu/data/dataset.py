@@ -380,10 +380,13 @@ class SyntheticDataset(AnsysDataset):
 
     def __init__(self, root: str, partition: bool = True, sub_size: int = 4,
                  n_high=(16, 8, 8), n_low=(8, 4, 4), num_cases: int = 4,
-                 aspect_seed: int | None = None, **kwargs):
+                 aspect_seed: int | None = None, bend: bool = False, **kwargs):
         self._n_high, self._n_low = tuple(n_high), tuple(n_low)
         self._num_cases = int(num_cases)
         self._aspect_seed = aspect_seed  # None -> deterministic aspect ladder
+        # bend=True: cases become circular-arc bent ducts — the named cases
+        # use their literal angle ("20degree" -> 20), extras draw 0-70 deg
+        self._bend = bool(bend)
         # synthetic duct spacing >> the reference's 0.036 ANSYS radius
         self.gauss_radius = 1.5 * 2.0 / max(n_low[0] - 1, 1)
         super().__init__(root, partition, sub_size, **kwargs)
@@ -402,25 +405,51 @@ class SyntheticDataset(AnsysDataset):
             return float(0.4 + 0.4 * rng.random())
         return 0.5 + 0.08 * i  # the original 4-case ladder
 
+    def _case_bend_deg(self, i: int, name: str,
+                       rng: np.random.Generator) -> float:
+        if name.endswith("degree"):
+            return float(name[:-len("degree")])  # the reference's case names
+        return float(rng.uniform(0.0, 70.0))
+
     def prepare_raw(self):
-        from .synthetic import duct_field, make_duct_mesh
+        from .synthetic import bend_duct, duct_field, make_duct_mesh
 
         os.makedirs(self.raw_dir, exist_ok=True)
         rng = np.random.default_rng(0)
+        bend_rng = np.random.default_rng(
+            1 if self._aspect_seed is None else self._aspect_seed + 1000)
         for i, name in enumerate(self.raw_file_names):
-            # vary the aspect per "bend angle" so cases differ
+            # vary the aspect per case so cases differ even unbent
             ly = self._case_aspect(i)
+            bend = (self._case_bend_deg(i, name, bend_rng)
+                    if self._bend else 0.0)
             high = make_duct_mesh(*self._n_high, ly=ly)
             low = make_duct_mesh(*self._n_low, ly=ly)
             paths = self.case_paths(name)
-            write_cas_h5(paths["high_mesh"], mesh_from_cells(high.points, high.cells))
-            write_cas_h5(paths["low_mesh"], mesh_from_cells(low.points, low.cells))
-            for mesh, phys in ((high, paths["high_phys"]), (low, paths["low_phys"])):
+            # fields + geometry first (no RNG): bend AFTER solving on the
+            # straight duct — the series solution lives in straight
+            # coordinates; velocity rotates with the local frame
+            # (synthetic.py:bend_duct)
+            fields = {}
+            for key, mesh in (("high", high), ("low", low)):
                 v, p = duct_field(mesh.points, ly=ly)
+                pts = mesh.points
+                if bend:
+                    pts, v = bend_duct(pts, v, lx=2.0, bend_deg=bend)
+                fields[key] = (pts, v, p)
+            write_cas_h5(paths["high_mesh"],
+                         mesh_from_cells(fields["high"][0], high.cells))
+            write_cas_h5(paths["low_mesh"],
+                         mesh_from_cells(fields["low"][0], low.cells))
+            # RNG draws stay in the original per-mesh order (noise, perm per
+            # mesh) so unbent datasets rebuild bit-identically to round-1
+            for key, phys in (("high", paths["high_phys"]),
+                              ("low", paths["low_phys"])):
+                pts, v, p = fields[key]
                 v = v + 0.01 * rng.normal(size=v.shape).astype(np.float32)
                 # physics rows shuffled to exercise the KDTree mapping
-                perm = rng.permutation(len(mesh.points))
-                write_physics_csv(phys, mesh.points[perm], v[perm], p[perm],
+                perm = rng.permutation(len(pts))
+                write_physics_csv(phys, pts[perm], v[perm], p[perm],
                                   self.pressure_col)
 
 

@@ -80,6 +80,38 @@ def duct_field(points: np.ndarray, ly: float = 0.5, lz: float = 0.5,
     return velocity.astype(np.float32), pressure.astype(np.float32)
 
 
+def bend_duct(points: np.ndarray, velocity: np.ndarray, lx: float,
+              bend_deg: float) -> tuple[np.ndarray, np.ndarray]:
+    """Bends a straight duct (axis = x) into a circular arc of ``bend_deg``
+    degrees in the x-y plane, rotating velocity vectors with the local frame.
+
+    The reference's duct cases ARE bend angles ("0degree".."60degree",
+    configs/exp_config/teecnet_duct.yaml root layout); the straight-duct
+    series solution is computed first, then mapped isometrically along the
+    centerline: P = C(phi) + yc*n(phi) + z*ez with C the arc through the
+    section centroid.  bend_deg=0 returns inputs unchanged.
+    """
+    theta = float(np.deg2rad(bend_deg))
+    if abs(theta) < 1e-9:
+        return points, velocity
+    x = points[:, 0].astype(np.float64)
+    y = points[:, 1].astype(np.float64)
+    ymid = (y.max() + y.min()) / 2.0
+    yc = y - ymid  # signed in-plane offset from the centerline
+    radius = lx / theta
+    phi = x / lx * theta
+    sin, cos = np.sin(phi), np.cos(phi)
+    # centerline C(phi) = (R sin, ymid + R(1-cos)); frame t=(cos,sin),
+    # n=(-sin,cos); P = C + yc*n.  At phi=0 this is the identity.
+    px = (radius - yc) * sin
+    py = ymid + radius * (1 - cos) + yc * cos
+    new_points = np.stack([px, py, points[:, 2].astype(np.float64)], 1)
+    vx = velocity[:, 0] * cos - velocity[:, 1] * sin
+    vy = velocity[:, 0] * sin + velocity[:, 1] * cos
+    new_velocity = np.stack([vx, vy, velocity[:, 2]], 1)
+    return new_points.astype(np.float32), new_velocity.astype(np.float32)
+
+
 def make_sample_pair(n_high=(16, 8, 8), n_low=(8, 4, 4), noise: float = 0.0,
                      seed: int = 0):
     """A (low-res-interpolated-input, high-res-target) training pair.

@@ -192,3 +192,25 @@ def test_extract_subdomains_ragged_cells():
         ea = np.unique(np.stack([a.senders, a.receivers], 1), axis=0)
         eb = np.unique(np.stack([b.senders, b.receivers], 1), axis=0)
         np.testing.assert_array_equal(ea, eb)
+
+
+def test_bend_duct_geometry():
+    """bend_duct: isometric arc map — inlet fixed, speeds preserved, outlet
+    flow rotated by exactly the bend angle, bend=0 is identity."""
+    from fast_eng_super_resolution_tpu.data.synthetic import (
+        bend_duct, duct_field, make_duct_mesh)
+
+    m = make_duct_mesh(12, 6, 6, ly=0.5)
+    v, _ = duct_field(m.points, ly=0.5)
+    p0, v0 = bend_duct(m.points, v, 2.0, 0.0)
+    assert p0 is m.points and v0 is v
+
+    pts, vb = bend_duct(m.points, v, 2.0, 40.0)
+    np.testing.assert_allclose(np.linalg.norm(vb, axis=1),
+                               np.linalg.norm(v, axis=1), rtol=1e-5)
+    inlet = np.isclose(m.points[:, 0], 0)
+    np.testing.assert_allclose(pts[inlet], m.points[inlet], atol=1e-6)
+    out = np.isclose(m.points[:, 0], 2.0)
+    a, b = v[inlet][:, :2].mean(0), vb[out][:, :2].mean(0)
+    ang = np.degrees(np.arccos(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))))
+    assert abs(ang - 40.0) < 1.0, ang
