@@ -76,10 +76,11 @@ class _PartitionedGraphDataset:
     gauss_radius = GAUSS_RADIUS  # vtkGaussianKernel radius, GraphDataset.py:1078-1086
 
     def __init__(self, root: str, partition: bool = True, sub_size: int = 4,
-                 **kwargs):
+                 normalize_edge_attr: bool = False, **kwargs):
         self.root = root
         self.partition = partition
         self.sub_size = sub_size
+        self._normalize_edge_attr = bool(normalize_edge_attr)
         self.raw_dir = os.path.join(root, "raw")
         self.processed_dir = os.path.join(root, "processed")
         self.partition_dir = os.path.join(root, "partition")
@@ -119,16 +120,22 @@ class _PartitionedGraphDataset:
     def _h5(self):
         return h5py.File(self.partition_path(), "r")
 
-    @staticmethod
-    def _read_subdomain(group) -> dict:
+    def _read_subdomain(self, group) -> dict:
         edge_index = np.asarray(group["edge_index"], np.int64)
+        edge_attr = np.asarray(group["edge_attr"], np.float32).reshape(-1, 1)
+        if getattr(self, "_normalize_edge_attr", False) and len(edge_attr):
+            # resolution-invariant kernel input: raw edge LENGTHS shift
+            # out-of-distribution when mesh density changes (measured:
+            # cross-resolution transfer 1.55x raw vs see BASELINE.md).
+            # Normalization happens at READ time so caches stay raw.
+            edge_attr = edge_attr / max(float(edge_attr.mean()), 1e-12)
         out = {
             "x": np.asarray(group["x"], np.float32),
             "y": np.asarray(group["y"], np.float32),
             "pos": np.asarray(group["pos"], np.float32),
             "senders": edge_index[0].astype(np.int32),
             "receivers": edge_index[1].astype(np.int32),
-            "edge_attr": np.asarray(group["edge_attr"], np.float32).reshape(-1, 1),
+            "edge_attr": edge_attr,
         }
         if "global_node_ids" in group:
             out["global_node_ids"] = np.asarray(group["global_node_ids"], np.int64)
