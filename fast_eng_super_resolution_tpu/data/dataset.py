@@ -394,6 +394,10 @@ class SyntheticDataset(AnsysDataset):
         # bend=True: cases become circular-arc bent ducts — the named cases
         # use their literal angle ("20degree" -> 20), extras draw 0-70 deg
         self._bend = bool(bend)
+        # vary_resolution=True: each case scales n_high by 0.75-1.5x (n_low
+        # keeps the 2x ratio) so training spans mesh densities — the remedy
+        # for cross-resolution transfer (BASELINE.md "honest limitation")
+        self._vary_resolution = bool(kwargs.pop("vary_resolution", False))
         # synthetic duct spacing >> the reference's 0.036 ANSYS radius
         self.gauss_radius = 1.5 * 2.0 / max(n_low[0] - 1, 1)
         super().__init__(root, partition, sub_size, **kwargs)
@@ -425,13 +429,20 @@ class SyntheticDataset(AnsysDataset):
         rng = np.random.default_rng(0)
         bend_rng = np.random.default_rng(
             1 if self._aspect_seed is None else self._aspect_seed + 1000)
+        res_rng = np.random.default_rng(
+            2 if self._aspect_seed is None else self._aspect_seed + 2000)
         for i, name in enumerate(self.raw_file_names):
             # vary the aspect per case so cases differ even unbent
             ly = self._case_aspect(i)
             bend = (self._case_bend_deg(i, name, bend_rng)
                     if self._bend else 0.0)
-            high = make_duct_mesh(*self._n_high, ly=ly)
-            low = make_duct_mesh(*self._n_low, ly=ly)
+            n_high, n_low = self._n_high, self._n_low
+            if self._vary_resolution:
+                s = float(res_rng.uniform(0.75, 1.5))
+                n_high = tuple(max(3, int(round(n * s))) for n in self._n_high)
+                n_low = tuple(max(2, n // 2) for n in n_high)
+            high = make_duct_mesh(*n_high, ly=ly)
+            low = make_duct_mesh(*n_low, ly=ly)
             paths = self.case_paths(name)
             # fields + geometry first (no RNG): bend AFTER solving on the
             # straight duct — the series solution lives in straight

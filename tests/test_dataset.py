@@ -233,3 +233,19 @@ def test_synthetic_extra_cases_and_random_aspects(tmp_path):
     assert ds5.num_meshes == 5
     subs = ds5.get_one_full_sample(4)
     assert len(subs) >= 1 and np.isfinite(subs[0]["x"]).all()
+
+
+def test_synthetic_vary_resolution(tmp_path):
+    """vary_resolution=True gives each case its own mesh density (0.75-1.5x)
+    — mixed-resolution training is the measured remedy for cross-resolution
+    transfer (BASELINE.md: 1.55x -> 5.2x at an unseen density)."""
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    ds = SyntheticDataset(root=str(tmp_path), num_cases=4, aspect_seed=3,
+                          vary_resolution=True, n_high=(10, 5, 5),
+                          n_low=(6, 3, 3), sub_size=2)
+    sizes = {len(ds.full_mesh(i)["points"]) for i in range(4)}
+    assert len(sizes) > 1, sizes  # densities actually differ across cases
+    for i in range(4):
+        subs = ds.get_one_full_sample(i)
+        assert all(np.isfinite(s["x"]).all() for s in subs)
