@@ -184,3 +184,25 @@ def test_vtu_reader_ascii_format(tmp_path):
     assert g["points"].shape == (3, 3)
     np.testing.assert_allclose(g["point_data"]["pressure"], [1, 2, 3])
     np.testing.assert_array_equal(np.asarray(g["cells"]), [[0, 1, 2]])
+
+
+def test_mirrored_configs_match_reference():
+    """Every mirrored config must equal the reference's shipped values
+    (MIGRATION.md promise) — teecnet/beno train configs were once swapped
+    and only a mechanical file-by-file diff caught it."""
+    import os
+
+    import yaml
+
+    ref = "/root/reference/configs"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    here = os.path.join(os.path.dirname(__file__), "..", "configs")
+    pairs = [("train_config", n) for n in ("teecnet", "fno", "deeponet", "beno")]
+    pairs += [("exp_config", n) for n in ("teecnet_ansys", "teecnet_duct")]
+    for sub, name in pairs:
+        a = yaml.safe_load(open(os.path.join(ref, sub, f"{name}.yaml")))
+        b = yaml.safe_load(open(os.path.join(here, sub, f"{name}.yaml")))
+        assert a == b, (sub, name, a, b)
