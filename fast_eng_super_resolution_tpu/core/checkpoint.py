@@ -47,7 +47,10 @@ def unflatten_params(flat: dict[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
-        if keys and all(k.isdigit() for k in keys):
+        if (keys and all(k.isdigit() for k in keys)
+                and sorted(int(k) for k in keys) == list(range(len(keys)))):
+            # only a dense 0..n-1 digit range round-trips to a list; sparse
+            # digit keys (e.g. '0','2') stay a dict
             return [normalize(node[str(i)]) for i in range(len(keys))]
         return {k: normalize(v) for k, v in node.items()}
 

@@ -215,11 +215,11 @@ class AnsysDataset(_PartitionedGraphDataset):
                      y=np.concatenate([v_hi, p_hi], 1).astype(np.float32),
                      wall_idx=high.wall_node_indices())
             # annotated high-res VTU (:1032-1036)
-            from .tensorize import VTK_TETRA
+            from .tensorize import infer_cell_types
             write_vtu(os.path.join(self.processed_dir, f"mesh_{mesh_idx}_high.vtu"),
                       high.points,
                       cells if uniform else cell_sets,
-                      np.full(len(cell_sets), VTK_TETRA, np.uint8),
+                      infer_cell_types(cell_sets),
                       point_data={"velocity": v_hi, "pressure": p_hi,
                                   "interpolated_velocity": v_in,
                                   "interpolated_pressure": p_in})

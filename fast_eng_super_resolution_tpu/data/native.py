@@ -26,12 +26,19 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_RUNTIME_DIR, "tensorizer.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
+        # always rebuild when the source is newer: a stale (or foreign-host,
+        # -march=native) binary would silently shadow edits or SIGILL
         try:
             subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -26,6 +26,30 @@ VTK_QUAD = 9
 CELL_NUM_POINTS = {VTK_TETRA: 4, VTK_HEXAHEDRON: 8, VTK_WEDGE: 6, VTK_PYRAMID: 5,
                    VTK_TRIANGLE: 3, VTK_QUAD: 4}
 
+# point-count -> VTK type, resolved per mesh dimension (4 points is a tetra in
+# a volume mesh but a quad in a surface mesh)
+_NPOINTS_TO_TYPE_3D = {4: VTK_TETRA, 5: VTK_PYRAMID, 6: VTK_WEDGE,
+                       8: VTK_HEXAHEDRON}
+_NPOINTS_TO_TYPE_2D = {3: VTK_TRIANGLE, 4: VTK_QUAD}
+
+
+def infer_cell_types(cells, dim: int = 3) -> np.ndarray:
+    """[C] uint8 VTK cell type ids from per-cell point counts.
+
+    The Fluent readers support mixed hex/wedge/pyramid/tet meshes
+    (fluent_msh.py zone element types; reference vtkFLUENTReader handles the
+    same set), so exported VTUs must not hardcode VTK_TETRA.
+
+    Args:
+      cells: [C, K] uniform int connectivity, or list/object-array of
+        variable-length cells.
+      dim: 3 for volume meshes, 2 for surface meshes.
+    """
+    table = _NPOINTS_TO_TYPE_3D if dim == 3 else _NPOINTS_TO_TYPE_2D
+    if isinstance(cells, np.ndarray) and cells.ndim == 2:
+        return np.full(len(cells), table[cells.shape[1]], np.uint8)
+    return np.array([table[len(c)] for c in cells], np.uint8)
+
 
 def cells_to_edges(cells: np.ndarray, num_nodes: int | None = None) -> np.ndarray:
     """Directed edge list from cell cliques (both directions, deduplicated).

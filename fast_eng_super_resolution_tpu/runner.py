@@ -13,7 +13,7 @@ import os
 import numpy as np
 
 from .data.reconstruct import overlap_average
-from .data.tensorize import VTK_TETRA
+from .data.tensorize import infer_cell_types
 from .data.vtu import write_vtu
 from .sched.scheduler import PartitionScheduler
 from .utils.logging import span
@@ -72,7 +72,7 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
         out_path = os.path.join(out_dir, f"pred_{idx}.vtu")
         cells = full["cells"]
         write_vtu(out_path, full["points"], cells,
-                  np.full(len(cells), VTK_TETRA, np.uint8),
+                  infer_cell_types(cells),
                   point_data={
                       "velocity": pred[:, :3], "pressure": pred[:, 3],
                       "ref_velocity": ref[:, :3], "ref_pressure": ref[:, 3],

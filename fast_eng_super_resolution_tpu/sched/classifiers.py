@@ -71,8 +71,14 @@ def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.Generator,
     centers = [x[rng.integers(len(x))]]
     for _ in range(1, k):
         d = np.min(np.stack([dist_fn(x, c[None]) for c in centers], 1), axis=1) ** 2
-        probs = d / max(d.sum(), 1e-30)
-        centers.append(x[np.searchsorted(np.cumsum(probs), rng.random())])
+        if d.sum() <= 0.0:
+            # all points coincide with a center (duplicate latents or
+            # k >= distinct points): D^2 sampling is undefined, pick uniformly
+            centers.append(x[rng.integers(len(x))])
+            continue
+        probs = d / d.sum()
+        idx = min(np.searchsorted(np.cumsum(probs), rng.random()), len(x) - 1)
+        centers.append(x[idx])
     return np.stack(centers)
 
 

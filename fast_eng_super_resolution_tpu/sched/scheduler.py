@@ -189,6 +189,22 @@ class PartitionScheduler:
                                                merged=merged)
             val_batches = self._make_batches([raw[j] for j in va_idx], batch_size,
                                              merged=merged)
+            if not self._single_device():
+                # place every batch across the mesh (pad the batch axis to a
+                # device multiple; padded graphs are fully masked so they
+                # contribute nothing to loss/grad) — the DDP epoch-loop
+                # analogue (scheduler_gnn.py:398-418), mirroring predict
+                ndev = len(self.mesh.devices.ravel())
+
+                def _shard_all(batches):
+                    out = []
+                    for bidx, b in batches:
+                        b, _ = pad_batch_to_multiple(b, ndev)
+                        out.append((bidx, shard_batch(b, self.mesh)))
+                    return out
+
+                train_batches = _shard_all(train_batches)
+                val_batches = _shard_all(val_batches)
 
             key = jax.random.PRNGKey(seed + i)
             params, opt_state = trainer.init(key)
@@ -226,9 +242,11 @@ class PartitionScheduler:
             last_good = jax.device_get(params)
             # single-dispatch epochs when every batch has the same shape
             # (one bucket, no remainder): drops the per-batch float(loss)
-            # host sync to one per epoch (parallel/train.py:epoch_step)
+            # host sync to one per epoch (parallel/train.py:epoch_step).
+            # Gated on single-DEVICE (a 1-device mesh is the CLI default),
+            # not mesh is None — multi-device steps per sharded batch.
             stacked = (stack_batches([b for _, b in train_batches])
-                       if self.mesh is None else None)
+                       if self._single_device() else None)
             for epoch in range(start_epoch, epochs):
                 order = rng.permutation(len(train_batches))
                 if stacked is not None:
@@ -373,15 +391,18 @@ class PartitionScheduler:
             real_b = batch.x.shape[0]
             lab = labels[idxs].astype(np.int32)
 
-        if self.num_partitions > 1:
-            preds = routed(stacked, lab, batch)
-            preds = np.asarray(preds)[:real_b]
-        else:
+        multi_dev = self.mesh is not None and len(self.mesh.devices) > 1
+        ndev = len(self.mesh.devices) if multi_dev else 1
+
+        def _chunked(apply_chunk):
             # chunk to bound the per-edge transient (~24 KB/edge at w=48 with
-            # the lane-padded edge3d form); one compile per chunk shape
+            # the lane-padded edge3d form); one compile per chunk shape.
+            # Multi-device chunks stay device-multiples and are re-sharded so
+            # the batch axis keeps riding the mesh.
             e_budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
             e_per_graph = batch.senders.shape[1]
             chunk_b = max(1, min(batch.x.shape[0], e_budget // max(e_per_graph, 1)))
+            chunk_b = max(ndev, (chunk_b // ndev) * ndev)
             outs = []
             b_total = batch.x.shape[0]
             start = 0
@@ -391,13 +412,23 @@ class PartitionScheduler:
                     start = b_total - chunk_b  # reuse the compiled chunk shape
                     end = b_total
                 chunk = jax.tree_util.tree_map(lambda a: a[start:end], batch)
-                outs.append((start, np.asarray(
-                    trainer_like(self.params_list[0], chunk))))
+                if multi_dev:
+                    chunk = shard_batch(chunk, self.mesh)
+                outs.append((start, np.asarray(apply_chunk(chunk, start, end))))
                 start = end
             preds = np.zeros((b_total,) + outs[0][1].shape[1:], np.float32)
             for s, o in outs:
                 preds[s:s + o.shape[0]] = o
-            preds = preds[:real_b]
+            return preds
+
+        if self.num_partitions > 1:
+            # same edge-budget envelope as single-expert (a large routed mesh
+            # would otherwise hit the 2.7x lane-padded transient whole-batch)
+            lab_j = jnp.asarray(lab)
+            preds = _chunked(lambda c, s, e: routed(stacked, lab_j[s:e], c))
+        else:
+            preds = _chunked(lambda c, s, e: trainer_like(self.params_list[0], c))
+        preds = preds[:real_b]
 
         # node weights (scheduler_gnn.py:222-226) — vectorized over the batch
         weight_fn = jax.jit(jax.vmap(

@@ -206,3 +206,21 @@ def test_mirrored_configs_match_reference():
         a = yaml.safe_load(open(os.path.join(ref, sub, f"{name}.yaml")))
         b = yaml.safe_load(open(os.path.join(here, sub, f"{name}.yaml")))
         assert a == b, (sub, name, a, b)
+
+
+def test_unflatten_sparse_digit_keys_stay_dict(tmp_path):
+    """A dict with sparse digit keys ('0','2') must round-trip as a dict —
+    dense 0..n-1 digit keys become lists (advisor finding, round 1)."""
+    import numpy as np
+
+    from fast_eng_super_resolution_tpu.core import checkpoint as ckpt
+
+    sparse = {"0": np.ones(2), "2": np.zeros(3)}
+    dense = {"0": np.ones(2), "1": np.zeros(3)}
+    p1, p2 = str(tmp_path / "sparse.npz"), str(tmp_path / "dense.npz")
+    ckpt.save_params(p1, sparse)
+    ckpt.save_params(p2, dense)
+    back_sparse = ckpt.load_params(p1)
+    back_dense = ckpt.load_params(p2)
+    assert isinstance(back_sparse, dict) and set(back_sparse) == {"0", "2"}
+    assert isinstance(back_dense, list) and len(back_dense) == 2

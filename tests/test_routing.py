@@ -142,3 +142,18 @@ def test_vae_encoder_trains(rng):
     enc.train(feats)
     lat = enc.get_latent_space(feats)
     assert lat.shape == (4, 2) and np.isfinite(lat).all()
+
+
+def test_kmeans_duplicate_latents_no_crash(rng):
+    """k-means++ with fewer distinct points than clusters must not raise
+    (advisor finding: zero D^2 mass -> searchsorted out of range)."""
+    import numpy as np
+
+    from fast_eng_super_resolution_tpu.sched.classifiers import KMeansClassifier
+
+    x = np.tile(rng.normal(size=(2, 3)), (5, 1))  # 10 points, 2 distinct
+    clf = KMeansClassifier(n_clusters=4, random_state=0)
+    clf.train(x, save_model=False)
+    labels = clf.cluster(x)
+    assert labels.shape == (10,)
+    assert (labels >= 0).all() and (labels < 4).all()

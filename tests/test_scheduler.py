@@ -165,3 +165,81 @@ def test_chunked_predict_bit_exact(trained, synth, monkeypatch):
         got, _, _, _ = sched.predict(x)
         for a, b in zip(base, got):
             np.testing.assert_array_equal(a, b)
+
+
+def test_multichip_train_shards_batches(synth, tmp_path_factory, monkeypatch):
+    """PartitionScheduler.train places every train/val batch across the mesh
+    (the DDP epoch-loop analogue, scheduler_gnn.py:398-418) — round-1 gap:
+    the engine sharded but the orchestration layer never called it."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched import scheduler as sched_mod
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+
+    sharded_batches = []
+    real_shard = sched_mod.shard_batch
+
+    def spy(batch, mesh, *a, **k):
+        out = real_shard(batch, mesh, *a, **k)
+        sharded_batches.append(out)
+        return out
+
+    monkeypatch.setattr(sched_mod, "shard_batch", spy)
+
+    log_dir = str(tmp_path_factory.mktemp("logs_mc"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = sched_mod.PartitionScheduler("mc_test", 1, synth, model,
+                                         train=True, log_dir=log_dir)
+    assert not sched._single_device()
+    config = dict(epochs=2, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+
+    assert sharded_batches, "train() never sharded a batch onto the mesh"
+    b = sharded_batches[0]
+    sh = b.x.sharding
+    assert isinstance(sh, NamedSharding)
+    assert len(sh.device_set) == 8
+    # data axis actually sharded (batch dim split, not replicated)
+    assert sh.spec[0] == "data"
+    # padded batch axis is a device multiple
+    assert b.x.shape[0] % 8 == 0
+
+
+def test_single_device_train_takes_epoch_scan(synth, tmp_path_factory,
+                                              monkeypatch):
+    """On one device (the CLI default: one TPU = a 1-device mesh) training
+    runs single-dispatch epochs via Trainer.epoch — round-1 bug: the gate
+    tested ``mesh is None`` and never fired."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer
+    from fast_eng_super_resolution_tpu.sched import scheduler as sched_mod
+
+    from fast_eng_super_resolution_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(sched_mod, "make_mesh",
+                        lambda *a, **k: make_mesh(jax.devices()[:1]))
+
+    epoch_calls = []
+    orig_epoch = Trainer.epoch
+
+    def spy(self, *a, **k):
+        epoch_calls.append(1)
+        return orig_epoch(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "epoch", spy)
+
+    log_dir = str(tmp_path_factory.mktemp("logs_1d"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = sched_mod.PartitionScheduler("scan_test", 1, synth, model,
+                                         train=True, log_dir=log_dir)
+    assert sched._single_device()
+    config = dict(epochs=2, batch_size=64, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    assert len(epoch_calls) == 2, "scan path (Trainer.epoch) was not taken"
