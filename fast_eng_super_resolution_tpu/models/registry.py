@@ -27,7 +27,12 @@ GRID_MODELS = ("fno", "deeponet")
 def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
     """Returns a static model-config object with .init/.apply/.import_pth."""
     if type == "fno":
-        return FNO2d(modes1=in_channels, modes2=out_channels, width=kwargs["width"])
+        # in_feats: raw field channels entering the lift (the reference
+        # hardcodes Linear(258=256+2grid, width), model.py:74); grid datasets
+        # with C != 256 channels set it in their exp config
+        return FNO2d(modes1=in_channels, modes2=out_channels,
+                     width=kwargs["width"],
+                     in_feats=kwargs.get("in_feats", 256))
     elif type == "teecnet":
         return TEECNet(
             in_channels=in_channels,

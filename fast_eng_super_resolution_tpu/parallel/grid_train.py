@@ -66,3 +66,8 @@ class GridTrainer:
 
     def predict(self, params, x):
         return self._predict(params, x)
+
+    @staticmethod
+    def set_lr(opt_state, lr: float):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state

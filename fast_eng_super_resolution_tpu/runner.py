@@ -99,8 +99,35 @@ def main(args, default_sub_size_kw: bool = False):
     train_config = load_yaml(args.train_config)
     n_clusters = exp_config["n_clusters"]
 
+    device = exp_config.get("device")
+    if device:
+        # in-process platform override BEFORE the first traced op (the only
+        # point it can take effect).  Use case: this environment's relay TPU
+        # backend lacks FFT, so fno_advected.yaml pins 'cpu'; real TPUs
+        # implement FFT natively and should drop the key.
+        import jax
+
+        jax.config.update("jax_platforms", device)
+
     model = init_model(args.model, **exp_config)
     dataset = init_dataset(args.dataset, **exp_config)
+
+    from .models.registry import GRID_MODELS
+
+    if args.model in GRID_MODELS:
+        # dense-tensor family: FNO/DeepONet train on [B, H, W, C] snapshots,
+        # not on the graph scheduler (see grid_runner module docstring)
+        from .grid_runner import pred_grid, train_grid
+
+        print("Dataset loaded!")
+        if args.mode == "train":
+            return train_grid(args.exp_name, model, dataset, train_config,
+                              exp_config)
+        elif args.mode in ("pred", "predict"):
+            return pred_grid(exp_config["idxs"], args.exp_name, model,
+                             dataset, exp_config)
+        raise ValueError(f"Unknown mode: {args.mode}")
+
     kwargs = {}
     if n_clusters != 1:
         kwargs["encoder"] = init_encoder(args.encoder, **exp_config)
