@@ -94,6 +94,72 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
     return real_nodes / dt, params, model
 
 
+def bench_train(raw, iters: int = 4):
+    """Training throughput: fwd + gradient-weighted-loss bwd + Adam, merged
+    layout (the single-chip production path, sched/scheduler.py).  One scan
+    dispatch over ``iters`` steps (Trainer.epoch) so tunnel latency and the
+    relay's identical-execution cache cannot distort the number; params/opt
+    state change every step, and the final host-side float(loss) serializes.
+
+    Uses half the inference workload's subdomains: the per-edge operator's
+    backward holds a ~40 KB/edge transient (BASELINE.md), so the training
+    batch is edge-budgeted to fit a 16 GB v5e at w=48.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.core.graph import merge_batch, pad_and_bucket
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer
+
+    sub = raw[: max(1, len(raw) // 2)]
+    (_, _, batch), = pad_and_bucket(sub)
+    merged, _ = merge_batch(batch)
+    real_nodes = int(sum(g["x"].shape[0] for g in sub))
+
+    model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
+                     in_width=4, out_width=4, edges_sorted=True)
+    trainer = Trainer(model, lr=1e-3, layout="merged", donate=False)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    stacked = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], merged)
+    order = np.zeros(iters, np.int32)
+
+    # roofline numbers straight from XLA's cost model for the jitted step
+    flops = bytes_accessed = None
+    try:
+        compiled = trainer._step.lower(params, opt_state, merged).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        bytes_accessed = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
+    p, o, losses = trainer.epoch(params, opt_state, stacked, order)  # compile+warm
+    float(losses[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p2, o2, losses = trainer.epoch(params, opt_state, stacked, order)
+        float(losses[-1])
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / iters
+    tput = real_nodes / dt
+    info = {"train_step_s": dt, "train_real_nodes": real_nodes}
+    if flops:
+        tflops = flops / dt / 1e12
+        info.update({"train_flops_per_step": flops,
+                     "train_bytes_per_step": bytes_accessed,
+                     "train_tflops": tflops})
+        if jax.default_backend() in ("tpu", "axon"):
+            # v5e peak: 197 TFLOP/s bf16 / ~98 f32; step runs f32 accumulate
+            info["train_mfu_f32"] = tflops / 98.0
+            info["train_hbm_frac"] = (bytes_accessed / dt) / 819e9
+    print("ROOFLINE " + json.dumps(info), file=sys.stderr)
+    return tput, info
+
+
 def bench_torch_baseline(raw, params, model) -> float:
     """The reference's math via the independent torch oracle on CPU."""
     import jax
@@ -123,16 +189,29 @@ def main():
     raw, batch, real_nodes = build_workload()
     jax_tput, params, model = bench_jax(batch, real_nodes)
     try:
+        train_tput, train_info = bench_train(raw)
+    except Exception as e:
+        print(f"train bench failed: {e!r}", file=sys.stderr)
+        train_tput, train_info = 0.0, {}
+    try:
         base_tput = bench_torch_baseline(raw, params, model)
         vs = jax_tput / base_tput
     except Exception:
         vs = 0.0
-    print(json.dumps({
+    rec = {
         "metric": "subdomain_inference_throughput",
         "value": round(jax_tput, 1),
         "unit": "nodes/sec/chip",
         "vs_baseline": round(vs, 2),
-    }))
+        # secondary metrics (driver contract keys above are unchanged):
+        # fwd+bwd+Adam merged-layout path, regression-visible per round
+        "train_nodes_per_s": round(train_tput, 1),
+    }
+    if "train_tflops" in train_info:
+        rec["train_tflops"] = round(train_info["train_tflops"], 3)
+    if "train_mfu_f32" in train_info:
+        rec["train_mfu_f32"] = round(train_info["train_mfu_f32"], 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -123,8 +123,9 @@ def test_bench_json_contract(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+    assert rec["train_nodes_per_s"] > 0  # fwd+bwd+Adam path is benched too
 
 
 def test_cli_routed_experts(workdir, exp_config):
