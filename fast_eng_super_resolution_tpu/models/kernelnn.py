@@ -91,6 +91,56 @@ class KernelNN:
         h, _ = jax.lax.scan(body, h, None, length=self.depth)
         return linear(params["fc2"], h)
 
+    def apply_fused(self, params: dict, x: jnp.ndarray,
+                    edge_attr_blocked: jnp.ndarray,
+                    senders_perm: jnp.ndarray, s_matrix: jnp.ndarray, *,
+                    rows_blk: int, blk: int, sub: int = 256,
+                    gemm_dtype: str = "bfloat16") -> jnp.ndarray:
+        """Forward via the fused Pallas conv layer (ops/fused_conv.py).
+
+        Inference fast path: per-edge kernel matrices stay VMEM-resident and
+        the scatter-mean runs as a dense MXU matmul against host-precomputed
+        scatter blocks (``ops.fused_conv.build_scatter_blocks``) — use
+        ``prepare_fused(graph)`` to build the extra operands.  bf16 GEMM
+        inputs by default: measured accuracy equals the XLA path's own
+        TPU default-precision (~3e-3 vs f64); pass gemm_dtype='float32' for
+        full-precision parity (slower: 6-pass MXU).
+        """
+        from ..ops.fused_conv import fused_edge_conv
+        from ..ops.message_passing import apply_edge_mlp_hidden
+
+        conv = params["conv"]
+        n = x.shape[0]
+        h = linear(params["fc1"], x)
+        # layer-invariant: edge-MLP hidden feats in block order, once
+        h_e = apply_edge_mlp_hidden(conv["edge_mlp"], edge_attr_blocked,
+                                    jax.nn.relu)
+        w3, b3 = conv["edge_mlp"][-1]["w"], conv["edge_mlp"][-1]["b"]
+        for _ in range(self.depth):
+            agg = fused_edge_conv(h_e, h, senders_perm, w3, b3, s_matrix,
+                                  c_in=self.width, c_out=self.width,
+                                  rows_blk=rows_blk, blk=blk, sub=sub,
+                                  gemm_dtype=gemm_dtype)
+            h = jax.nn.relu(agg[:n] + h @ conv["root"] + conv["bias"])
+        return linear(params["fc2"], h)
+
+    @staticmethod
+    def prepare_fused(senders, receivers, edge_attr, n_nodes,
+                      edge_mask=None, rows_blk: int = 64, quantum: int = 256):
+        """Host-side (numpy) fused-path operands for a static graph.
+
+        Returns (edge_attr_blocked, senders_perm, s_matrix, rows_blk, blk).
+        """
+        import numpy as np
+
+        from ..ops.fused_conv import build_scatter_blocks
+
+        blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
+                                      rows_blk=rows_blk, quantum=quantum)
+        ea = np.asarray(edge_attr)[blocks.edge_perm]
+        return (ea, blocks.senders_perm, blocks.s_matrix, blocks.rows_blk,
+                blocks.blk)
+
     def import_pth(self, state_dict) -> dict:
         """Params from a reference checkpoint (torch state_dict / numpy dict).
 

@@ -105,3 +105,93 @@ def test_msh_binary_roundtrip(tmp_path, tet_mesh):
         np.testing.assert_array_equal(za.c0, zb.c0)
         np.testing.assert_array_equal(np.asarray(za.face_nodes), np.asarray(zb.face_nodes))
     np.testing.assert_array_equal(back.edges(), fm.edges())
+
+
+# ---------------------------------------------------------------------------
+# Independent fixtures (VERDICT r1 missing #2): NOT produced by this repo's
+# writers — a round-trip through our own writer cannot catch a shared
+# misunderstanding of the format.  The .msh fixture is hand-assembled from
+# the ANSYS Fluent mesh-file format description and exercises constructs the
+# writer never emits (fixed-size tri face rows without nnodes prefixes, hex
+# zone ids, split node sections, (39) zone names); the CFF fixture is raw
+# h5py following the published CFF layout with non-"1" section ids and
+# array-typed zone names.
+# ---------------------------------------------------------------------------
+
+_TWO_TET_POINTS = np.array([[0., 0., 0.], [1., 0., 0.], [0., 1., 0.],
+                            [0., 0., 1.], [1., 1., 1.]], np.float32)
+_TWO_TET_CELLS = [{0, 1, 2, 3}, {1, 2, 3, 4}]
+
+
+def _check_two_tet_mesh(fm):
+    np.testing.assert_array_equal(fm.points, _TWO_TET_POINTS)
+    assert fm.num_cells == 2
+    cell_sets = [set(c.tolist()) for c in fm.cell_point_sets()]
+    assert cell_sets == _TWO_TET_CELLS
+    # zones: one interior (bctype 2) face {1,2,3} with cells (0,1); six
+    # boundary tri faces on the wall zone (bctype 3, hex id a=10)
+    interior = [z for z in fm.face_zones if z.bc_type == 2]
+    wall = [z for z in fm.face_zones if z.bc_type == 3]
+    assert len(interior) == 1 and len(wall) == 1
+    assert len(interior[0].c0) == 1
+    assert set(np.asarray(interior[0].face_nodes).ravel().tolist()) == {1, 2, 3}
+    assert (interior[0].c0[0], interior[0].c1[0]) == (0, 1)
+    assert wall[0].zone_id == 10
+    assert len(wall[0].c0) == 6
+    assert np.all(wall[0].c1 == -1)
+    assert sorted(fm.wall_node_indices().tolist()) == [0, 1, 2, 3, 4]
+    # clique edges: 12 directed per tet, 6 shared within {1,2,3}
+    assert fm.edges().shape == (18, 2)
+
+
+def test_handmade_msh_fixture():
+    import os
+
+    from fast_eng_super_resolution_tpu.data.fluent_msh import read_msh
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "handmade_2tet.msh")
+    fm = read_msh(path)
+    _check_two_tet_mesh(fm)
+    names = {z.zone_id: z.name for z in fm.face_zones}
+    assert names[3] == "interior:default-interior"
+    assert names[10] == "wall:walls"  # decimal id in (39) matches hex 'a'
+
+
+def test_handmade_cff_fixture(tmp_path):
+    """CFF case assembled with raw h5py per the published layout (array-typed
+    names, section ids != '1') — write_cas_h5 is never called."""
+    import h5py
+
+    from fast_eng_super_resolution_tpu.data.fluent_cff import read_cas_h5
+
+    path = str(tmp_path / "handmade.cas.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("meshes/7")
+        g.create_dataset("nodes/coords/7",
+                         data=_TWO_TET_POINTS.astype(np.float64))
+        faces = [[2, 3, 4],                      # interior (1-based)
+                 [1, 2, 3], [1, 2, 4], [1, 3, 4],
+                 [2, 3, 5], [2, 4, 5], [3, 4, 5]]
+        g.create_dataset("faces/nodes/7/nnodes",
+                         data=np.full(7, 3, np.int64))
+        g.create_dataset("faces/nodes/7/nodes",
+                         data=np.concatenate(faces).astype(np.int64))
+        g.create_dataset("faces/c0/7",
+                         data=np.array([1, 1, 1, 1, 2, 2, 2], np.int64))
+        g.create_dataset("faces/c1/7",
+                         data=np.array([2, 0, 0, 0, 0, 0, 0], np.int64))
+        zt = g.create_group("faces/zoneTopology")
+        zt.create_dataset("id", data=np.array([3, 10], np.int64))
+        zt.create_dataset("zoneType", data=np.array([2, 3], np.int64))
+        zt.create_dataset("minId", data=np.array([1, 2], np.int64))
+        zt.create_dataset("maxId", data=np.array([1, 7], np.int64))
+        zt.create_dataset("name",
+                          data=np.array([b"interior:default-interior",
+                                         b"wall:walls"]))
+        g.create_dataset("cells/zoneTopology/maxId",
+                         data=np.array([2], np.int64))
+    fm = read_cas_h5(path)
+    _check_two_tet_mesh(fm)
+    assert [z.name for z in fm.face_zones] == ["interior:default-interior",
+                                               "wall:walls"]
