@@ -86,8 +86,9 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
 
 def main(args, default_sub_size_kw: bool = False):
     """Shared __main__ body for both entry scripts (run_ALDS_3D.py:44-73)."""
-    from .utils.env import setup_compilation_cache
+    from .utils.env import maybe_init_distributed, setup_compilation_cache
 
+    maybe_init_distributed()  # FESR_MULTIHOST=1: before any backend touch
     setup_compilation_cache()
     from .data.dataset import init_dataset
     from .models.registry import init_model
