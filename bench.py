@@ -54,9 +54,12 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
 
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
 
-    # edge3d f32: fastest measured (352k nodes/s).  bf16 kernel storage was
-    # tried and is SLOWER here (240k) — the bf16 batched-contraction lowering
-    # loses more than the halved reads gain on this toolchain.
+    # TPU: fused Pallas conv (ops/fused_conv.py) — per-edge matrices stay in
+    # VMEM and the scatter-mean is a dense MXU matmul against precomputed
+    # blocks; measured 1,183k nodes/s vs 415k for the best XLA path (edge3d
+    # merged) on v5e.  Non-TPU backends keep the XLA path (Mosaic kernels
+    # don't lower there; interpret mode is orders slower than XLA).
+    fused = jax.default_backend() in ("tpu", "axon")
     model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
                      in_width=4, out_width=4, mode="edge3d", edges_sorted=True)
     params = model.init(jax.random.PRNGKey(0))
@@ -65,13 +68,27 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
 
     merged, _ = merge_batch(batch)
 
-    def forward(params, x):
-        # merged block-diagonal layout (core/graph.py:merge_batch): one
-        # scatter pass over the whole batch, 1.5x over vmap on v5e
-        out = model.apply(params, x.reshape(merged.x.shape), merged.senders,
-                          merged.receivers, merged.edge_attr,
-                          edge_mask=merged.edge_mask)
-        return out.reshape(x.shape[0], x.shape[1], -1)
+    if fused:
+        ea_b, sp, sm, rows_blk, blk = model.prepare_fused(
+            np.asarray(merged.senders), np.asarray(merged.receivers),
+            np.asarray(merged.edge_attr), merged.x.shape[0],
+            np.asarray(merged.edge_mask))
+        import jax.numpy as jnp
+
+        ea_b, sp, sm = jnp.asarray(ea_b), jnp.asarray(sp), jnp.asarray(sm)
+
+        def forward(params, x):
+            out = model.apply_fused(params, x.reshape(merged.x.shape), ea_b,
+                                    sp, sm, rows_blk=rows_blk, blk=blk)
+            return out.reshape(x.shape[0], x.shape[1], -1)
+    else:
+        def forward(params, x):
+            # merged block-diagonal layout (core/graph.py:merge_batch): one
+            # scatter pass over the whole batch, 1.5x over vmap on v5e
+            out = model.apply(params, x.reshape(merged.x.shape), merged.senders,
+                              merged.receivers, merged.edge_attr,
+                              edge_mask=merged.edge_mask)
+            return out.reshape(x.shape[0], x.shape[1], -1)
 
     @jax.jit
     def chained(params, x0):

@@ -94,8 +94,9 @@ class KernelNN:
     def apply_fused(self, params: dict, x: jnp.ndarray,
                     edge_attr_blocked: jnp.ndarray,
                     senders_perm: jnp.ndarray, s_matrix: jnp.ndarray, *,
-                    rows_blk: int, blk: int, sub: int = 256,
-                    gemm_dtype: str = "bfloat16") -> jnp.ndarray:
+                    rows_blk: int, blk: int, sub: int | None = None,
+                    gemm_dtype: str = "bfloat16",
+                    interpret: bool = False) -> jnp.ndarray:
         """Forward via the fused Pallas conv layer (ops/fused_conv.py).
 
         Inference fast path: per-edge kernel matrices stay VMEM-resident and
@@ -120,9 +121,55 @@ class KernelNN:
             agg = fused_edge_conv(h_e, h, senders_perm, w3, b3, s_matrix,
                                   c_in=self.width, c_out=self.width,
                                   rows_blk=rows_blk, blk=blk, sub=sub,
-                                  gemm_dtype=gemm_dtype)
+                                  gemm_dtype=gemm_dtype, interpret=interpret)
             h = jax.nn.relu(agg[:n] + h @ conv["root"] + conv["bias"])
         return linear(params["fc2"], h)
+
+    def apply_fused_ad(self, params: dict, x: jnp.ndarray,
+                       edge_attr_blocked: jnp.ndarray, fused_aux: dict,
+                       s_matrix: jnp.ndarray, *, rows_blk: int, blk: int,
+                       gemm_dtype: str = "bfloat16",
+                       interpret: bool = False) -> jnp.ndarray:
+        """Differentiable fused forward (training path).
+
+        Same math as ``apply_fused`` but through the custom-VJP wrapper
+        (ops/fused_conv.fused_edge_conv_ad): backward recomputes the per-edge
+        matrices in VMEM tile-by-tile — no [E, w^2] residuals, no remat of
+        the whole layer.  ``fused_aux`` comes from
+        ``prepare_fused_train``; bf16 GEMM passes for fwd and bwd (standard
+        mixed precision), 'float32' for full-precision gradients.
+        """
+        from ..ops.fused_conv import fused_edge_conv_ad
+        from ..ops.message_passing import apply_edge_mlp_hidden
+
+        conv = params["conv"]
+        n = x.shape[0]
+        h = linear(params["fc1"], x)
+        h_e = apply_edge_mlp_hidden(conv["edge_mlp"], edge_attr_blocked,
+                                    jax.nn.relu)
+        w3, b3 = conv["edge_mlp"][-1]["w"], conv["edge_mlp"][-1]["b"]
+        for _ in range(self.depth):
+            agg = fused_edge_conv_ad(h_e, h, w3, b3, s_matrix, fused_aux,
+                                     self.width, self.width, rows_blk, blk,
+                                     None, gemm_dtype, interpret)
+            h = jax.nn.relu(agg[:n] + h @ conv["root"] + conv["bias"])
+        return linear(params["fc2"], h)
+
+    @staticmethod
+    def prepare_fused_train(senders, receivers, edge_attr, n_nodes,
+                            edge_mask=None, rows_blk: int = 64,
+                            quantum: int = 256):
+        """Host-side operands for ``apply_fused_ad``:
+        (edge_attr_blocked, fused_aux, s_matrix, rows_blk, blk)."""
+        import numpy as np
+
+        from ..ops.fused_conv import build_scatter_blocks
+
+        blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
+                                      rows_blk=rows_blk, quantum=quantum)
+        ea = np.asarray(edge_attr)[blocks.edge_perm]
+        return (ea, blocks.train_aux(), blocks.s_matrix, blocks.rows_blk,
+                blocks.blk)
 
     @staticmethod
     def prepare_fused(senders, receivers, edge_attr, n_nodes,

@@ -63,6 +63,7 @@ class ScatterBlocks:
     edge_perm: np.ndarray       # [num_blocks*blk] int32 into original edges
     s_matrix: np.ndarray        # [num_blocks*rows_blk, blk] f32, 1/deg or 1
     senders_perm: np.ndarray    # [num_blocks*blk] int32 into nodes
+    slot_mask: np.ndarray       # [num_blocks*blk] bool, False on padding
     rows_blk: int
     blk: int
     num_blocks: int
@@ -71,6 +72,16 @@ class ScatterBlocks:
     @property
     def n_pad(self) -> int:
         return self.num_blocks * self.rows_blk
+
+    def train_aux(self) -> dict:
+        """int32/bool operand dict for ``fused_edge_conv_ad`` (training):
+        slots sorted by sender so the dx scatter-add runs as a sorted XLA
+        segment_sum; padding slots masked out of node 0's gradient."""
+        t_perm = np.argsort(self.senders_perm, kind="stable").astype(np.int32)
+        return {"senders_perm": self.senders_perm,
+                "t_perm": t_perm,
+                "senders_sorted": self.senders_perm[t_perm],
+                "t_mask": self.slot_mask[t_perm]}
 
 
 def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
@@ -118,18 +129,21 @@ def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
 
     edge_perm = np.zeros(num_blocks * blk, np.int32)
     senders_perm = np.zeros(num_blocks * blk, np.int32)
+    slot_mask = np.zeros(num_blocks * blk, bool)
     s = np.zeros((num_blocks * rows_blk, blk), np.float32)
     for b in range(num_blocks):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
         k = hi - lo
         edge_perm[b * blk: b * blk + k] = real_idx[lo:hi]
         senders_perm[b * blk: b * blk + k] = senders[lo:hi]
+        slot_mask[b * blk: b * blk + k] = True
         rows_local = receivers[lo:hi] - b * rows_blk
         s[b * rows_blk + rows_local, np.arange(k)] = \
             weight[receivers[lo:hi]]
     return ScatterBlocks(edge_perm=edge_perm, s_matrix=s,
-                         senders_perm=senders_perm, rows_blk=rows_blk,
-                         blk=blk, num_blocks=num_blocks, n_nodes=int(n_nodes))
+                         senders_perm=senders_perm, slot_mask=slot_mask,
+                         rows_blk=rows_blk, blk=blk, num_blocks=num_blocks,
+                         n_nodes=int(n_nodes))
 
 
 def _fold_groups(prod: jnp.ndarray, groups: int, c_out: int) -> jnp.ndarray:
@@ -159,6 +173,20 @@ def _fold_groups(prod: jnp.ndarray, groups: int, c_out: int) -> jnp.ndarray:
     return prod
 
 
+def _expansion_matrix(c_in: int, c_out: int, dt) -> jnp.ndarray:
+    """(x @ p)[e, i*c_out+o] = x[e, i] — constant 0/1 group expansion."""
+    c2 = c_in * c_out
+    return jnp.zeros((c_in, c2), dt).at[
+        jnp.arange(c_in).repeat(c_out), jnp.arange(c2)].set(1.0)
+
+
+def _tile_matrix(c_out: int, c_in: int, dt) -> jnp.ndarray:
+    """(g @ t)[e, i*c_out+o] = g[e, o] — tiles cotangents across groups."""
+    c2 = c_in * c_out
+    return jnp.zeros((c_out, c2), dt).at[
+        jnp.tile(jnp.arange(c_out), c_in), jnp.arange(c2)].set(1.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("c_in", "c_out", "rows_blk", "blk", "sub", "gemm_dtype",
@@ -167,7 +195,7 @@ def fused_edge_conv(h_blocked: jnp.ndarray, x: jnp.ndarray,
                     senders_perm: jnp.ndarray, w3: jnp.ndarray,
                     b3: jnp.ndarray, s_matrix: jnp.ndarray, *,
                     c_in: int, c_out: int, rows_blk: int, blk: int,
-                    sub: int = 256, gemm_dtype: str = "float32",
+                    sub: int | None = None, gemm_dtype: str = "float32",
                     interpret: bool = False) -> jnp.ndarray:
     """One conv layer's message+aggregate: returns [num_blocks*rows_blk, c_out].
 
@@ -178,7 +206,9 @@ def fused_edge_conv(h_blocked: jnp.ndarray, x: jnp.ndarray,
       senders_perm: [num_blocks*blk] int32 sender ids in block order.
       w3/b3: final edge-MLP layer ([K, c_in*c_out], [c_in*c_out]).
       s_matrix: [num_blocks*rows_blk, blk] scatter-weight blocks.
-      sub: edges per inner VMEM tile (bounds the [sub, c_in*c_out] W tile).
+      sub: edges per inner VMEM tile (bounds the [sub, c_in*c_out] W tile);
+        None picks the largest power-of-two divisor of blk up to 512 — the
+        measured sweet spot (v5e, w=48: sub 512 > 256 > 128 by ~10%/step).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -186,6 +216,9 @@ def fused_edge_conv(h_blocked: jnp.ndarray, x: jnp.ndarray,
     num_blocks = s_matrix.shape[0] // rows_blk
     k = h_blocked.shape[1]
     c2 = c_in * c_out
+    if sub is None:
+        sub = next(s for s in (512, 256, 128, 64, 32, 16, 8, blk)
+                   if blk % s == 0)
     assert blk % sub == 0, (blk, sub)
     n_sub = blk // sub
 
@@ -194,10 +227,7 @@ def fused_edge_conv(h_blocked: jnp.ndarray, x: jnp.ndarray,
     h_blocked = h_blocked.astype(dt)
     w3 = w3.astype(dt)
     b3f = b3.astype(jnp.float32).reshape(1, c2)
-    # constant group-expansion matrix: (x @ p)[e, i*c_out+o] = x[e, i]
-    p = jnp.zeros((c_in, c2), dt).at[
-        jnp.arange(c_in).repeat(c_out),
-        jnp.arange(c2)].set(1.0)
+    p = _expansion_matrix(c_in, c_out, dt)
 
     # TPU MXU default precision feeds f32 operands through single-pass bf16
     # (~1e-3 rel err); full-f32 parity needs HIGHEST.  bf16 mode keeps the
@@ -248,3 +278,166 @@ def fused_edge_conv(h_blocked: jnp.ndarray, x: jnp.ndarray,
         interpret=interpret,
     )(h_blocked, x_src, w3, b3f, p, s_matrix)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_in", "c_out", "rows_blk", "blk", "sub", "gemm_dtype",
+                     "interpret"))
+def fused_edge_conv_bwd(g: jnp.ndarray, h_blocked: jnp.ndarray,
+                        x_src: jnp.ndarray, w3: jnp.ndarray,
+                        b3: jnp.ndarray, s_matrix: jnp.ndarray, *,
+                        c_in: int, c_out: int, rows_blk: int, blk: int,
+                        sub: int | None = None,
+                        gemm_dtype: str = "float32",
+                        interpret: bool = False):
+    """Backward of fused_edge_conv wrt (h, x_src, w3, b3).
+
+    Same block structure as the forward; recomputes W/xe per tile (cheaper
+    than storing [slots, c_in*c_out] residuals — the whole point of the fused
+    design).  Per-block partial dw3/db3 land in [num_blocks*K, c2] /
+    [num_blocks, c2] outputs summed by XLA outside — per-block outputs avoid
+    the cross-step accumulation (reduction-grid) pattern that hangs this
+    toolchain's Mosaic compiler.
+
+    Returns (dh [slots, K], dx_src [slots, c_in], dw3 [K, c2], db3 [c2]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    num_blocks = s_matrix.shape[0] // rows_blk
+    k = h_blocked.shape[1]
+    c2 = c_in * c_out
+    if sub is None:
+        sub = next(s for s in (256, 128, 64, 32, 16, 8, blk) if blk % s == 0)
+    assert blk % sub == 0, (blk, sub)
+    n_sub = blk // sub
+
+    dt = jnp.dtype(gemm_dtype)
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    g = g.astype(jnp.float32)
+    h_blocked = h_blocked.astype(dt)
+    x_src = x_src.astype(dt)
+    w3d = w3.astype(dt)
+    b3f = b3.astype(jnp.float32).reshape(1, c2)
+    p = _expansion_matrix(c_in, c_out, dt)
+    t_mat = _tile_matrix(c_out, c_in, dt)
+
+    def dotg(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+
+    def kernel(g_ref, h_ref, x_ref, w3_ref, b3_ref, p_ref, t_ref, s_ref,
+               dh_ref, dx_ref, dw3_ref, db3_ref):
+        dw3_acc = jnp.zeros((k, c2), jnp.float32)
+        db3_acc = jnp.zeros((1, c2), jnp.float32)
+        gq = g_ref[:]
+        for ti in range(n_sub):
+            sl = slice(ti * sub, (ti + 1) * sub)
+            # dmsg = S_slice^T @ g  (contract the rows axis, no transpose op)
+            dmsg = dotg(s_ref[:, sl], gq, 0, 0)           # [sub, c_out]
+            dprod = dotg(dmsg.astype(dt), t_ref[:], 1, 0)  # [sub, c2]
+            w = dotg(h_ref[sl, :], w3_ref[:], 1, 0) + b3_ref[:]
+            xe = dotg(x_ref[sl, :], p_ref[:], 1, 0)
+            dw = dprod * xe
+            dxe = dprod * w
+            dh_ref[sl, :] = dotg(dw.astype(dt), w3_ref[:], 1, 1)
+            dx_ref[sl, :] = dotg(dxe.astype(dt), p_ref[:], 1, 1)
+            dw3_acc = dw3_acc + dotg(h_ref[sl, :], dw.astype(dt), 0, 0)
+            db3_acc = db3_acc + jnp.sum(dw, axis=0, keepdims=True)
+        dw3_ref[:] = dw3_acc
+        db3_ref[:] = db3_acc
+
+    dh, dx_src_g, dw3_parts, db3_parts = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((rows_blk, c_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, c2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, blk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks * blk, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * blk, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * k, c2), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, c2), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=num_blocks * blk * (8 * (k + c_in) * c2 // 2),
+            bytes_accessed=4 * num_blocks * blk * (2 * k + 2 * c_in)
+            + 4 * s_matrix.size,
+            transcendentals=0),
+        interpret=interpret,
+    )(g, h_blocked, x_src, w3d, b3f, p, t_mat, s_matrix)
+
+    dw3 = jnp.sum(dw3_parts.reshape(num_blocks, k, c2), axis=0)
+    db3 = jnp.sum(db3_parts, axis=0)
+    return dh, dx_src_g, dw3, db3
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def fused_edge_conv_ad(h_blocked, x, w3, b3, s_matrix, fused_aux,
+                       c_in, c_out, rows_blk, blk, sub, gemm_dtype,
+                       interpret):
+    """Differentiable fused conv layer (training path).
+
+    ``fused_aux``: dict of graph-static int32 arrays —
+      senders_perm [slots]; t_perm [slots] (edge slots sorted by sender);
+      senders_sorted [slots] (senders_perm[t_perm]); t_mask [slots] bool
+      (False on padding slots, which carry sender 0 and would otherwise
+      corrupt node 0's gradient).
+    Gradients flow to (h_blocked, x, w3, b3); the scatter-add of dx over
+    senders runs as a sorted XLA segment_sum outside the kernel.
+    """
+    return fused_edge_conv(h_blocked, x, fused_aux["senders_perm"], w3, b3,
+                           s_matrix, c_in=c_in, c_out=c_out,
+                           rows_blk=rows_blk, blk=blk, sub=sub,
+                           gemm_dtype=gemm_dtype, interpret=interpret)
+
+
+def _fused_ad_fwd(h_blocked, x, w3, b3, s_matrix, fused_aux,
+                  c_in, c_out, rows_blk, blk, sub, gemm_dtype, interpret):
+    out = fused_edge_conv_ad(h_blocked, x, w3, b3, s_matrix, fused_aux,
+                             c_in, c_out, rows_blk, blk, sub, gemm_dtype,
+                             interpret)
+    return out, (h_blocked, x, w3, b3, s_matrix, fused_aux)
+
+
+def _fused_ad_bwd(c_in, c_out, rows_blk, blk, sub, gemm_dtype, interpret,
+                  res, g):
+    h_blocked, x, w3, b3, s_matrix, fused_aux = res
+    x_src = x[fused_aux["senders_perm"]]
+    dh, dx_src, dw3, db3 = fused_edge_conv_bwd(
+        g, h_blocked, x_src, w3, b3, s_matrix, c_in=c_in, c_out=c_out,
+        rows_blk=rows_blk, blk=blk, gemm_dtype=gemm_dtype,
+        interpret=interpret)
+    dx_sorted = dx_src[fused_aux["t_perm"]]
+    dx_sorted = jnp.where(fused_aux["t_mask"][:, None], dx_sorted, 0.0)
+    dx = jax.ops.segment_sum(dx_sorted, fused_aux["senders_sorted"],
+                             num_segments=x.shape[0],
+                             indices_are_sorted=True)
+    return (dh, dx.astype(x.dtype), dw3.astype(w3.dtype),
+            db3.astype(b3.dtype), jnp.zeros_like(s_matrix), None)
+
+
+fused_edge_conv_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)

@@ -85,6 +85,43 @@ def merged_loss(model, params, graph: GraphBatch, kind: str = "gradient",
     return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
 
 
+def merged_fused_loss(model, params, batch: dict, rows_blk: int, blk: int,
+                      kind: str = "gradient", linf_weight: float = 0.1,
+                      gemm_dtype: str = "bfloat16",
+                      interpret: bool = False) -> jnp.ndarray:
+    """merged_loss through the fused Pallas conv (custom VJP — backward
+    recomputes per-edge matrices in VMEM instead of remat'ing [E, w^2]
+    residuals).  ``batch``: {'graph': merged GraphBatch, 'fused':
+    {'edge_attr', 'aux', 's'}} from ``KernelNN.prepare_fused_train``; the
+    gradient-weight and L-inf terms stay on the graph's own edge arrays."""
+    graph, fused = batch["graph"], batch["fused"]
+    pred = model.apply_fused_ad(params, graph.x, fused["edge_attr"],
+                                fused["aux"], fused["s"], rows_blk=rows_blk,
+                                blk=blk, gemm_dtype=gemm_dtype,
+                                interpret=interpret)
+    m = graph.node_mask[:, None].astype(pred.dtype)
+    sq_sum = jnp.sum((pred - graph.y) ** 2 * m)
+    n_real = jnp.sum(m) * pred.shape[-1]
+    w = gradient_weight_scalar(pred, graph.y, graph.senders, graph.receivers,
+                               graph.edge_attr, graph.edge_mask, graph.node_mask,
+                               min_weight=0.0)
+    linf = linf_loss(pred, graph.y, graph.node_mask)
+    return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
+
+
+def make_fused_batch(merged: GraphBatch, model, rows_blk: int = 64,
+                     quantum: int = 256):
+    """(batch dict for layout='fused', rows_blk, blk) from a merged graph."""
+    ea, aux, s, rows_blk, blk = model.prepare_fused_train(
+        np.asarray(merged.senders), np.asarray(merged.receivers),
+        np.asarray(merged.edge_attr), merged.x.shape[0],
+        np.asarray(merged.edge_mask), rows_blk=rows_blk, quantum=quantum)
+    fused = {"edge_attr": jnp.asarray(ea),
+             "aux": {k: jnp.asarray(v) for k, v in aux.items()},
+             "s": jnp.asarray(s)}
+    return {"graph": merged, "fused": fused}, rows_blk, blk
+
+
 def stack_batches(batches):
     """Stacks same-shape batch pytrees along a new leading axis for
     ``Trainer.epoch`` (single-dispatch epochs).  One host->device transfer
@@ -116,12 +153,24 @@ class Trainer:
     loss_kind: str = "gradient"
     linf_weight: float = 0.1
     donate: bool = True
-    layout: str = "batched"  # 'batched' ([B, ...] + vmap) or 'merged' (one graph)
+    layout: str = "batched"  # 'batched' ([B, ...] + vmap), 'merged' (one
+    # graph), or 'fused' (merged graph + fused Pallas conv, TPU)
+    fused_rows_blk: int = 64   # static block geometry for layout='fused'
+    fused_blk: int = 0         # (from make_fused_batch)
+    fused_dtype: str = "bfloat16"
+    fused_interpret: bool = False
 
     def __post_init__(self):
         self.optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
 
-        if self.layout == "merged":
+        if self.layout == "fused":
+            def loss_fn(params, batch):
+                return merged_fused_loss(self.model, params, batch,
+                                         self.fused_rows_blk, self.fused_blk,
+                                         self.loss_kind, self.linf_weight,
+                                         self.fused_dtype,
+                                         self.fused_interpret)
+        elif self.layout == "merged":
             def loss_fn(params, batch):
                 return merged_loss(self.model, params, batch, self.loss_kind,
                                    self.linf_weight)
@@ -159,7 +208,15 @@ class Trainer:
         self._epoch = jax.jit(epoch_step, donate_argnums=donate)
         self._eval = jax.jit(loss_fn)
 
-        if self.layout == "merged":
+        if self.layout == "fused":
+            def predict(params, batch: dict):
+                g, fused = batch["graph"], batch["fused"]
+                return self.model.apply_fused_ad(
+                    params, g.x, fused["edge_attr"], fused["aux"], fused["s"],
+                    rows_blk=self.fused_rows_blk, blk=self.fused_blk,
+                    gemm_dtype=self.fused_dtype,
+                    interpret=self.fused_interpret)
+        elif self.layout == "merged":
             def predict(params, graph: GraphBatch):
                 return self.model.apply(params, graph.x, graph.senders,
                                         graph.receivers, graph.edge_attr,

@@ -380,6 +380,37 @@ class PartitionScheduler:
 
         trainer_like = jax.jit(single_expert)
 
+        # fused Pallas conv path (ops/fused_conv.py): per-edge matrices stay
+        # VMEM-resident, scatter-mean as a dense MXU matmul — measured 2.85x
+        # over edge3d on v5e (1,183k vs 415k nodes/s).  Single-device,
+        # single-expert TPU inference only; scatter blocks are host-built
+        # per merged chunk (graph-static, ~0.4 s per 500k edges).
+        use_fused = (jax.default_backend() in ("tpu", "axon")
+                     and self.num_partitions == 1
+                     and hasattr(infer_model, "apply_fused")
+                     and (self.mesh is None or len(self.mesh.devices) == 1)
+                     and os.environ.get("FESR_FUSED_PREDICT", "1") != "0")
+        if use_fused:
+            fused_jit = jax.jit(
+                lambda params, xm, ea_b, sp, sm, rows_blk, blk, shape:
+                infer_model.apply_fused(params, xm, ea_b, sp, sm,
+                                        rows_blk=rows_blk, blk=blk
+                                        ).reshape(shape),
+                static_argnums=(5, 6, 7))
+
+            def fused_expert(params, chunk):
+                from ..core.graph import merge_batch
+
+                b, n = chunk.x.shape[0], chunk.x.shape[1]
+                merged, _ = merge_batch(chunk)
+                ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
+                    np.asarray(merged.senders), np.asarray(merged.receivers),
+                    np.asarray(merged.edge_attr), merged.x.shape[0],
+                    np.asarray(merged.edge_mask))
+                return fused_jit(params, merged.x, jnp.asarray(ea_b),
+                                 jnp.asarray(sp), jnp.asarray(sm), rows_blk,
+                                 blk, (b, n, -1))
+
         buckets = pad_and_bucket(raw, uniform=True)
         (_, idxs, batch) = buckets[0]
         if self.mesh is not None and len(self.mesh.devices) > 1:
@@ -426,6 +457,8 @@ class PartitionScheduler:
             # would otherwise hit the 2.7x lane-padded transient whole-batch)
             lab_j = jnp.asarray(lab)
             preds = _chunked(lambda c, s, e: routed(stacked, lab_j[s:e], c))
+        elif use_fused:
+            preds = _chunked(lambda c, s, e: fused_expert(self.params_list[0], c))
         else:
             preds = _chunked(lambda c, s, e: trainer_like(self.params_list[0], c))
         preds = preds[:real_b]
