@@ -136,16 +136,26 @@ def bench_train(raw, iters: int = 4):
 
     model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
                      in_width=4, out_width=4, edges_sorted=True)
-    trainer = Trainer(model, lr=1e-3, layout="merged", donate=False)
+    if jax.default_backend() in ("tpu", "axon"):
+        # production TPU path: fused Pallas conv with custom VJP — 2.81x the
+        # XLA merged step (208k vs 74k nodes/s measured on v5e)
+        from fast_eng_super_resolution_tpu.parallel.train import make_fused_batch
+
+        train_batch, rows_blk, blk = make_fused_batch(merged, model)
+        trainer = Trainer(model, lr=1e-3, layout="fused", donate=False,
+                          fused_rows_blk=rows_blk, fused_blk=blk)
+    else:
+        train_batch = merged
+        trainer = Trainer(model, lr=1e-3, layout="merged", donate=False)
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
 
-    stacked = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], merged)
+    stacked = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], train_batch)
     order = np.zeros(iters, np.int32)
 
     # roofline numbers straight from XLA's cost model for the jitted step
     flops = bytes_accessed = None
     try:
-        compiled = trainer._step.lower(params, opt_state, merged).compile()
+        compiled = trainer._step.lower(params, opt_state, train_batch).compile()
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0))

@@ -127,19 +127,21 @@ def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
     weight = (1.0 / np.maximum(deg, 1.0)) if aggr == "mean" else \
         np.ones_like(deg)
 
+    # vectorized block fill: edge j (global sorted order) lands in block
+    # b(j) = receivers[j] // rows_blk at column j - bounds[b(j)]
+    e_real = receivers.shape[0]
     edge_perm = np.zeros(num_blocks * blk, np.int32)
     senders_perm = np.zeros(num_blocks * blk, np.int32)
     slot_mask = np.zeros(num_blocks * blk, bool)
     s = np.zeros((num_blocks * rows_blk, blk), np.float32)
-    for b in range(num_blocks):
-        lo, hi = int(bounds[b]), int(bounds[b + 1])
-        k = hi - lo
-        edge_perm[b * blk: b * blk + k] = real_idx[lo:hi]
-        senders_perm[b * blk: b * blk + k] = senders[lo:hi]
-        slot_mask[b * blk: b * blk + k] = True
-        rows_local = receivers[lo:hi] - b * rows_blk
-        s[b * rows_blk + rows_local, np.arange(k)] = \
-            weight[receivers[lo:hi]]
+    if e_real:
+        block_of = (receivers // rows_blk).astype(np.int64)
+        col = np.arange(e_real) - bounds[block_of]
+        slot = block_of * blk + col
+        edge_perm[slot] = real_idx
+        senders_perm[slot] = senders
+        slot_mask[slot] = True
+        s[receivers, col] = weight[receivers]
     return ScatterBlocks(edge_perm=edge_perm, s_matrix=s,
                          senders_perm=senders_perm, slot_mask=slot_mask,
                          rows_blk=rows_blk, blk=blk, num_blocks=num_blocks,
@@ -348,7 +350,9 @@ def fused_edge_conv_bwd(g: jnp.ndarray, h_blocked: jnp.ndarray,
             dw3_acc = dw3_acc + dotg(h_ref[sl, :], dw.astype(dt), 0, 0)
             db3_acc = db3_acc + jnp.sum(dw, axis=0, keepdims=True)
         dw3_ref[:] = dw3_acc
-        db3_ref[:] = db3_acc
+        # Mosaic requires >=8 sublanes per output block: replicate the [1, c2]
+        # accumulator across 8 rows; the XLA-side sum divides by 8
+        db3_ref[:] = jnp.broadcast_to(db3_acc, (8, c2))
 
     dh, dx_src_g, dw3_parts, db3_parts = pl.pallas_call(
         kernel,
@@ -373,13 +377,13 @@ def fused_edge_conv_bwd(g: jnp.ndarray, h_blocked: jnp.ndarray,
             pl.BlockSpec((blk, c_in), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_blocks * blk, k), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks * blk, c_in), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks * k, c2), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks, c2), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * 8, c2), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=num_blocks * blk * (8 * (k + c_in) * c2 // 2),
@@ -390,7 +394,7 @@ def fused_edge_conv_bwd(g: jnp.ndarray, h_blocked: jnp.ndarray,
     )(g, h_blocked, x_src, w3d, b3f, p, t_mat, s_matrix)
 
     dw3 = jnp.sum(dw3_parts.reshape(num_blocks, k, c2), axis=0)
-    db3 = jnp.sum(db3_parts, axis=0)
+    db3 = jnp.sum(db3_parts, axis=0) / 8.0  # rows are 8x-replicated
     return dh, dx_src_g, dw3, db3
 
 
