@@ -394,6 +394,11 @@ class SyntheticDataset(AnsysDataset):
         # bend=True: cases become circular-arc bent ducts — the named cases
         # use their literal angle ("20degree" -> 20), extras draw 0-70 deg
         self._bend = bool(bend)
+        # obstacle=True: each case gets an immersed-cylinder blockage with
+        # randomized center/radius (synthetic.obstacle_deflect) — cross-flow
+        # deflection + Bernoulli pressure structure the aspect/bend variants
+        # lack
+        self._obstacle = bool(kwargs.pop("obstacle", False))
         # vary_resolution=True: each case scales n_high by 0.75-1.5x (n_low
         # keeps the 2x ratio) so training spans mesh densities — the remedy
         # for cross-resolution transfer (BASELINE.md "honest limitation")
@@ -423,7 +428,8 @@ class SyntheticDataset(AnsysDataset):
         return float(rng.uniform(0.0, 70.0))
 
     def prepare_raw(self):
-        from .synthetic import bend_duct, duct_field, make_duct_mesh
+        from .synthetic import (bend_duct, duct_field, make_duct_mesh,
+                                obstacle_deflect)
 
         os.makedirs(self.raw_dir, exist_ok=True)
         rng = np.random.default_rng(0)
@@ -431,6 +437,8 @@ class SyntheticDataset(AnsysDataset):
             1 if self._aspect_seed is None else self._aspect_seed + 1000)
         res_rng = np.random.default_rng(
             2 if self._aspect_seed is None else self._aspect_seed + 2000)
+        obs_rng = np.random.default_rng(
+            3 if self._aspect_seed is None else self._aspect_seed + 3000)
         for i, name in enumerate(self.raw_file_names):
             # vary the aspect per case so cases differ even unbent
             ly = self._case_aspect(i)
@@ -448,10 +456,19 @@ class SyntheticDataset(AnsysDataset):
             # straight duct — the series solution lives in straight
             # coordinates; velocity rotates with the local frame
             # (synthetic.py:bend_duct)
+            obs = None
+            if self._obstacle:
+                # one obstacle per case, identical for high/low meshes (it is
+                # part of the geometry, like the bend angle)
+                obs = (float(obs_rng.uniform(0.5, 1.5)),          # center x
+                       float(obs_rng.uniform(0.35, 0.65) * ly),   # center y
+                       float(obs_rng.uniform(0.12, 0.22) * ly))   # radius
             fields = {}
             for key, mesh in (("high", high), ("low", low)):
                 v, p = duct_field(mesh.points, ly=ly)
                 pts = mesh.points
+                if obs is not None:
+                    v, p = obstacle_deflect(pts, v, p, *obs)
                 if bend:
                     pts, v = bend_duct(pts, v, lx=2.0, bend_deg=bend)
                 fields[key] = (pts, v, p)

@@ -112,6 +112,39 @@ def bend_duct(points: np.ndarray, velocity: np.ndarray, lx: float,
     return new_points.astype(np.float32), new_velocity.astype(np.float32)
 
 
+def obstacle_deflect(points: np.ndarray, velocity: np.ndarray,
+                     pressure: np.ndarray, center_x: float, center_y: float,
+                     radius: float) -> tuple[np.ndarray, np.ndarray]:
+    """Immersed-cylinder blockage (axis = z) inside the duct.
+
+    Physically richer than aspect/bend variation (round-1 quality lever
+    list): the axial profile is deflected by the potential-flow solution
+    around a cylinder at (center_x, center_y) — u' = u0*(1 - R^2(x^2-y^2)/r^4),
+    v' = -2 u0 R^2 xy / r^4 (exact solution of continuity + irrotationality
+    outside the body, decaying as R^2/r^2) — with a smooth solid-body damp
+    to zero inside the radius (immersed-boundary style; the mesh is not cut)
+    and a Bernoulli-consistent pressure perturbation
+    p' = p + (|v_before|^2 - |v_after|^2)/2, so stagnation pressure rises
+    upstream of the body and drops in the accelerated side lobes.
+    """
+    x = points[:, 0].astype(np.float64) - center_x
+    y = points[:, 1].astype(np.float64) - center_y
+    r2 = np.maximum(x * x + y * y, 1e-12)
+    rr = radius * radius / r2
+    u0 = velocity[:, 0].astype(np.float64)
+    v0 = velocity[:, 1].astype(np.float64)
+    vx = u0 * (1.0 - rr * (x * x - y * y) / r2)
+    vy = v0 - u0 * rr * 2.0 * x * y / r2
+    damp = np.clip((np.sqrt(r2) / radius - 0.6) / 0.4, 0.0, 1.0)
+    vx *= damp
+    vy *= damp
+    vz = velocity[:, 2].astype(np.float64) * damp
+    p = pressure[:, 0].astype(np.float64) + 0.5 * (
+        u0 * u0 + v0 * v0 - vx * vx - vy * vy)
+    v = np.stack([vx, vy, vz], axis=1).astype(np.float32)
+    return v, p[:, None].astype(np.float32)
+
+
 def make_sample_pair(n_high=(16, 8, 8), n_low=(8, 4, 4), noise: float = 0.0,
                      seed: int = 0):
     """A (low-res-interpolated-input, high-res-target) training pair.

@@ -214,3 +214,42 @@ def test_bend_duct_geometry():
     a, b = v[inlet][:, :2].mean(0), vb[out][:, :2].mean(0)
     ang = np.degrees(np.arccos(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))))
     assert abs(ang - 40.0) < 1.0, ang
+
+
+def test_obstacle_deflect_physics():
+    """Immersed-cylinder blockage: exact potential-flow deflection far field,
+    solid-body damp inside, Bernoulli-consistent pressure."""
+    from fast_eng_super_resolution_tpu.data.synthetic import (
+        duct_field, make_duct_mesh, obstacle_deflect)
+
+    mesh = make_duct_mesh(24, 12, 6, ly=0.5)
+    v0, p0 = duct_field(mesh.points, ly=0.5)
+    cx, cy, r = 1.0, 0.25, 0.1
+    v, p = obstacle_deflect(mesh.points, v0, p0, cx, cy, r)
+    d = np.sqrt((mesh.points[:, 0] - cx) ** 2 + (mesh.points[:, 1] - cy) ** 2)
+    far = d > 6 * r
+    near = d < 0.5 * r
+    # far field approaches the base flow (R^2/r^2 decay)
+    assert np.abs(v[far] - v0[far]).max() < 0.05 * np.abs(v0).max()
+    # inside the body velocity is damped to zero
+    assert np.abs(v[near]).max() < 1e-6
+    # stagnation point upstream: pressure rises where flow decelerates
+    upstream = (np.abs(mesh.points[:, 1] - cy) < 0.02) & \
+        (mesh.points[:, 0] > cx - 2 * r) & (mesh.points[:, 0] < cx - r)
+    assert np.all(p[upstream] >= p0[upstream])
+    # cross-flow appears (the base duct flow has ~zero vy of its own scale)
+    assert np.abs(v[:, 1]).max() > 5 * np.abs(v0[:, 1]).max()
+
+
+def test_synthetic_dataset_obstacle_cases(tmp_path):
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    ds = SyntheticDataset(root=str(tmp_path / "obs"), partition=True,
+                          sub_size=4, obstacle=True, num_cases=2)
+    s = ds.get_one_full_sample(0)
+    assert len(s) > 0
+    ds_plain = SyntheticDataset(root=str(tmp_path / "plain"), partition=True,
+                                sub_size=4, num_cases=2)
+    a = ds.full_mesh(0)["y"]
+    b = ds_plain.full_mesh(0)["y"]
+    assert a.shape == b.shape and not np.allclose(a, b)
