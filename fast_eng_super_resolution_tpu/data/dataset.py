@@ -76,11 +76,13 @@ class _PartitionedGraphDataset:
     gauss_radius = GAUSS_RADIUS  # vtkGaussianKernel radius, GraphDataset.py:1078-1086
 
     def __init__(self, root: str, partition: bool = True, sub_size: int = 4,
-                 normalize_edge_attr: bool = False, **kwargs):
+                 normalize_edge_attr: bool = False,
+                 per_subdomain_field_norm: bool = False, **kwargs):
         self.root = root
         self.partition = partition
         self.sub_size = sub_size
         self._normalize_edge_attr = bool(normalize_edge_attr)
+        self._field_norm = bool(per_subdomain_field_norm)
         self.raw_dir = os.path.join(root, "raw")
         self.processed_dir = os.path.join(root, "processed")
         self.partition_dir = os.path.join(root, "partition")
@@ -139,6 +141,33 @@ class _PartitionedGraphDataset:
         }
         if "global_node_ids" in group:
             out["global_node_ids"] = np.asarray(group["global_node_ids"], np.int64)
+        if getattr(self, "_field_norm", False):
+            # per-subdomain amplitude invariance (round-1 quality-lever list):
+            # the reference normalizes per MESH only (GraphDataset.py:960-976),
+            # so wall subdomains train at a tiny fraction of the loss weight of
+            # core-flow subdomains and the model sees the full amplitude range.
+            # Scale-only (no shift — padding zeros stay neutral), velocity
+            # channels jointly (preserves direction), pressure on its own;
+            # the SAME per-subdomain scale divides x and y, so the mapping the
+            # model learns is amplitude-invariant and exactly invertible.
+            # Applied at READ time (caches stay raw, like normalize_edge_attr);
+            # predictions are re-scaled by ``field_scale`` before
+            # reconstruction (runner.pred_graph_ALDD).  Checkpoints are NOT
+            # interchangeable across flag settings.
+            x = out["x"]
+            c = x.shape[1]
+            scale = np.empty(c, np.float32)
+            if c >= 4:
+                scale[:3] = max(float(np.abs(x[:, :3]).max()), 1e-8)
+                for j in range(3, c):
+                    scale[j] = max(float(np.abs(x[:, j]).max()), 1e-8)
+            else:
+                for j in range(c):
+                    scale[j] = max(float(np.abs(x[:, j]).max()), 1e-8)
+            out["x"] = x / scale
+            if out["y"].shape == x.shape:
+                out["y"] = out["y"] / scale
+            out["field_scale"] = scale
         return out
 
     @staticmethod

@@ -40,6 +40,16 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
         with span("Prediction"):
             pred_y_list, ref_y_list, model_idx, weights_list = scheduler.predict(x)
 
+        if x and x[0].get("field_scale") is not None:
+            # per_subdomain_field_norm: model I/O is amplitude-normalized per
+            # subdomain (data/dataset.py:_read_subdomain); re-scale to
+            # physical units before stitching so reconstruction and the
+            # improvement metric stay comparable with un-normalized runs
+            pred_y_list = [np.asarray(p) * d["field_scale"]
+                           for p, d in zip(pred_y_list, x)]
+            ref_y_list = [np.asarray(r) * d["field_scale"]
+                          for r, d in zip(ref_y_list, x)]
+
         with span("Reconstruction"):
             full = dataset.full_mesh(idx)
             num_nodes = len(full["points"])

@@ -253,3 +253,26 @@ def test_synthetic_dataset_obstacle_cases(tmp_path):
     a = ds.full_mesh(0)["y"]
     b = ds_plain.full_mesh(0)["y"]
     assert a.shape == b.shape and not np.allclose(a, b)
+
+
+def test_per_subdomain_field_norm(tmp_path):
+    """per_subdomain_field_norm: x and y divided by the SAME per-subdomain
+    scale (velocity jointly, pressure alone), exactly invertible via
+    field_scale, caches stay raw (same h5 serves both settings)."""
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    root = str(tmp_path / "fn")
+    raw = SyntheticDataset(root=root, partition=True, sub_size=4, num_cases=2)
+    norm = SyntheticDataset(root=root, partition=True, sub_size=4,
+                            num_cases=2, per_subdomain_field_norm=True)
+    for i in range(3):
+        a, b = raw.get(i), norm.get(i)
+        s = b["field_scale"]
+        assert s.shape == (a["x"].shape[1],)
+        assert np.all(s[:3] == s[0])  # velocity scaled jointly
+        np.testing.assert_allclose(b["x"] * s, a["x"], rtol=1e-6)
+        np.testing.assert_allclose(b["y"] * s, a["y"], rtol=1e-6)
+        # normalized input velocity peaks at 1 per subdomain
+        assert abs(np.abs(b["x"][:, :3]).max() - 1.0) < 1e-6
+        assert abs(np.abs(b["x"][:, 3]).max() - 1.0) < 1e-6
+    assert raw.get(0).get("field_scale") is None
