@@ -275,6 +275,14 @@ class PartitionScheduler:
             # not mesh is None — multi-device steps per sharded batch.
             stacked = (stack_batches([b for _, b in train_batches])
                        if self._single_device() else None)
+            step_fn = trainer.step
+            if (not self._single_device()
+                    and os.environ.get("FESR_STEP_IMPL") == "shard_map"):
+                # explicit-collective variant: per-shard grads + written-out
+                # psum over the ICI ring — the literal DDP-allreduce analogue
+                # (scheduler_gnn.py:386); default GSPMD jit step is
+                # semantically identical (test_shard_map_step_matches_jit_step)
+                step_fn = trainer.make_shard_map_step(self.mesh)
             for epoch in range(start_epoch, epochs):
                 order = rng.permutation(len(train_batches))
                 if stacked is not None:
@@ -285,8 +293,8 @@ class PartitionScheduler:
                     train_loss = 0.0
                     for b in order:
                         _, batch = train_batches[b]
-                        params, opt_state, loss = trainer.step(params, opt_state,
-                                                               batch)
+                        params, opt_state, loss = step_fn(params, opt_state,
+                                                          batch)
                         train_loss += float(loss)
                     train_loss /= max(len(train_batches), 1)
                 if not np.isfinite(train_loss):

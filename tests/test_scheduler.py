@@ -243,3 +243,44 @@ def test_single_device_train_takes_epoch_scan(synth, tmp_path_factory,
                   log_interval=10, val_interval=1)
     sched.train(config)
     assert len(epoch_calls) == 2, "scan path (Trainer.epoch) was not taken"
+
+
+def test_multichip_train_shard_map_impl(synth, tmp_path_factory, monkeypatch):
+    """FESR_STEP_IMPL=shard_map routes the multi-device train loop through
+    the explicit-psum step (the literal DDP-allreduce analogue,
+    scheduler_gnn.py:386) and trains to a finite loss."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer
+    from fast_eng_super_resolution_tpu.sched import scheduler as sched_mod
+
+    assert len(jax.devices()) == 8
+    monkeypatch.setenv("FESR_STEP_IMPL", "shard_map")
+
+    calls = []
+    real = Trainer.make_shard_map_step
+
+    def spy(self, mesh, axis="data"):
+        fn = real(self, mesh, axis)
+        def wrapped(*a, **k):
+            calls.append(1)
+            return fn(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(Trainer, "make_shard_map_step", spy)
+
+    log_dir = str(tmp_path_factory.mktemp("logs_sm"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = sched_mod.PartitionScheduler("sm_impl", 1, synth, model,
+                                         train=True, log_dir=log_dir)
+    assert not sched._single_device()
+    config = dict(epochs=2, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    assert calls, "shard_map step was never used"
+    import json, glob, os
+    mfile = glob.glob(os.path.join(log_dir, "metrics", "*.jsonl"))[0]
+    with open(mfile) as f:
+        rows = [json.loads(l) for l in f]
+    assert all(np.isfinite(r["train_loss"]) for r in rows if "train_loss" in r)
