@@ -74,14 +74,20 @@ class ScatterBlocks:
         return self.num_blocks * self.rows_blk
 
     def train_aux(self) -> dict:
-        """int32/bool operand dict for ``fused_edge_conv_ad`` (training):
-        slots sorted by sender so the dx scatter-add runs as a sorted XLA
-        segment_sum; padding slots masked out of node 0's gradient."""
-        t_perm = np.argsort(self.senders_perm, kind="stable").astype(np.int32)
+        """int32 operand dict for ``fused_edge_conv_ad`` (training).
+
+        ``senders_dump``: sender id per slot, with padding slots redirected
+        to a dump row at index n_nodes — the dx scatter-add runs as ONE
+        unsorted ``segment_sum`` over n_nodes+1 segments and the dump row is
+        sliced off.  Measured on v5e (dx-variant sweep, round 2): this beats
+        the round-1 design (permute slots into sender-sorted order + masked
+        sorted segment_sum) by ~9.5 ms/step at 295k slots — the [slots, w]
+        gather that sorting requires costs more than the unsorted scatter
+        saves, and the dump row deletes the mask pass entirely."""
+        dump = np.where(self.slot_mask, self.senders_perm,
+                        np.int32(self.n_nodes)).astype(np.int32)
         return {"senders_perm": self.senders_perm,
-                "t_perm": t_perm,
-                "senders_sorted": self.senders_perm[t_perm],
-                "t_mask": self.slot_mask[t_perm]}
+                "senders_dump": dump}
 
 
 def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
@@ -406,12 +412,12 @@ def fused_edge_conv_ad(h_blocked, x, w3, b3, s_matrix, fused_aux,
     """Differentiable fused conv layer (training path).
 
     ``fused_aux``: dict of graph-static int32 arrays —
-      senders_perm [slots]; t_perm [slots] (edge slots sorted by sender);
-      senders_sorted [slots] (senders_perm[t_perm]); t_mask [slots] bool
-      (False on padding slots, which carry sender 0 and would otherwise
-      corrupt node 0's gradient).
+      senders_perm [slots]; senders_dump [slots] (sender per slot, padding
+      slots redirected to the dump segment n_nodes so they can't corrupt
+      node 0's gradient).
     Gradients flow to (h_blocked, x, w3, b3); the scatter-add of dx over
-    senders runs as a sorted XLA segment_sum outside the kernel.
+    senders runs as one unsorted XLA segment_sum with a dump row (measured
+    faster than the sorted-permutation design — see ScatterBlocks.train_aux).
     """
     return fused_edge_conv(h_blocked, x, fused_aux["senders_perm"], w3, b3,
                            s_matrix, c_in=c_in, c_out=c_out,
@@ -435,11 +441,9 @@ def _fused_ad_bwd(c_in, c_out, rows_blk, blk, sub, gemm_dtype, interpret,
         g, h_blocked, x_src, w3, b3, s_matrix, c_in=c_in, c_out=c_out,
         rows_blk=rows_blk, blk=blk, gemm_dtype=gemm_dtype,
         interpret=interpret)
-    dx_sorted = dx_src[fused_aux["t_perm"]]
-    dx_sorted = jnp.where(fused_aux["t_mask"][:, None], dx_sorted, 0.0)
-    dx = jax.ops.segment_sum(dx_sorted, fused_aux["senders_sorted"],
-                             num_segments=x.shape[0],
-                             indices_are_sorted=True)
+    n = x.shape[0]
+    dx = jax.ops.segment_sum(dx_src, fused_aux["senders_dump"],
+                             num_segments=n + 1)[:n]
     return (dh, dx.astype(x.dtype), dw3.astype(w3.dtype),
             db3.astype(b3.dtype), jnp.zeros_like(s_matrix), None)
 
