@@ -161,15 +161,10 @@ class KernelNN:
                             quantum: int = 256):
         """Host-side operands for ``apply_fused_ad``:
         (edge_attr_blocked, fused_aux, s_matrix, rows_blk, blk)."""
-        import numpy as np
+        from ..ops.fused_conv import prepare_fused_train
 
-        from ..ops.fused_conv import build_scatter_blocks
-
-        blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
-                                      rows_blk=rows_blk, quantum=quantum)
-        ea = np.asarray(edge_attr)[blocks.edge_perm]
-        return (ea, blocks.train_aux(), blocks.s_matrix, blocks.rows_blk,
-                blocks.blk)
+        return prepare_fused_train(senders, receivers, edge_attr, n_nodes,
+                                   edge_mask, rows_blk, quantum)
 
     @staticmethod
     def prepare_fused(senders, receivers, edge_attr, n_nodes,
@@ -178,15 +173,10 @@ class KernelNN:
 
         Returns (edge_attr_blocked, senders_perm, s_matrix, rows_blk, blk).
         """
-        import numpy as np
+        from ..ops.fused_conv import prepare_fused
 
-        from ..ops.fused_conv import build_scatter_blocks
-
-        blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
-                                      rows_blk=rows_blk, quantum=quantum)
-        ea = np.asarray(edge_attr)[blocks.edge_perm]
-        return (ea, blocks.senders_perm, blocks.s_matrix, blocks.rows_blk,
-                blocks.blk)
+        return prepare_fused(senders, receivers, edge_attr, n_nodes,
+                             edge_mask, rows_blk, quantum)
 
     def import_pth(self, state_dict) -> dict:
         """Params from a reference checkpoint (torch state_dict / numpy dict).

@@ -118,6 +118,88 @@ class TEECNet:
         h, _ = jax.lax.scan(body, h, None, length=self.num_layers)
         return linear(params["fc_out"], h)
 
+    @property
+    def fused_ok(self) -> bool:
+        """The fused Pallas path folds the edge MLP's LAST LINEAR layer into
+        the kernel — only valid for the dense (DenseNet) operator kernel.
+        The powerseries kernel is nonlinear in its final stage."""
+        return self.kernel_type == "dense"
+
+    def apply_fused(self, params: dict, x: jnp.ndarray,
+                    edge_attr_blocked: jnp.ndarray,
+                    senders_perm: jnp.ndarray, s_matrix: jnp.ndarray, *,
+                    rows_blk: int, blk: int, sub: int | None = None,
+                    gemm_dtype: str = "bfloat16",
+                    interpret: bool = False) -> jnp.ndarray:
+        """Forward via the fused Pallas conv (ops/fused_conv.py).
+
+        TEECNet's message is ``linear(x_j) @ W_op(e)`` (model.py:426-441) —
+        the same per-edge bmm + scatter-mean as KernelNN with the node
+        features pre-transformed, so the fused kernel applies directly to
+        ``linear(h)``; the update adds ``h @ root + bias`` on the
+        PRE-linear features (model.py:444-445), no inter-layer nonlinearity.
+        Dense operator kernel only (``fused_ok``).
+        """
+        assert self.fused_ok, "fused path requires kernel_type='dense'"
+        from ..ops.fused_conv import fused_edge_conv
+        from ..ops.message_passing import apply_edge_mlp_hidden
+
+        kern = params["kernel"]
+        n = x.shape[0]
+        h = linear(params["fc1"], x)
+        h_e = apply_edge_mlp_hidden(kern["edge_mlp"], edge_attr_blocked,
+                                    _leaky_relu)
+        w3, b3 = kern["edge_mlp"][-1]["w"], kern["edge_mlp"][-1]["b"]
+        for _ in range(self.num_layers):
+            agg = fused_edge_conv(h_e, linear(kern["linear"], h),
+                                  senders_perm, w3, b3, s_matrix,
+                                  c_in=self.width, c_out=self.width,
+                                  rows_blk=rows_blk, blk=blk, sub=sub,
+                                  gemm_dtype=gemm_dtype, interpret=interpret)
+            h = agg[:n] + h @ kern["root"] + kern["bias"]
+        return linear(params["fc_out"], h)
+
+    def apply_fused_ad(self, params: dict, x: jnp.ndarray,
+                       edge_attr_blocked: jnp.ndarray, fused_aux: dict,
+                       s_matrix: jnp.ndarray, *, rows_blk: int, blk: int,
+                       gemm_dtype: str = "bfloat16",
+                       interpret: bool = False) -> jnp.ndarray:
+        """Differentiable fused forward (training path, custom VJP)."""
+        assert self.fused_ok, "fused path requires kernel_type='dense'"
+        from ..ops.fused_conv import fused_edge_conv_ad
+        from ..ops.message_passing import apply_edge_mlp_hidden
+
+        kern = params["kernel"]
+        n = x.shape[0]
+        h = linear(params["fc1"], x)
+        h_e = apply_edge_mlp_hidden(kern["edge_mlp"], edge_attr_blocked,
+                                    _leaky_relu)
+        w3, b3 = kern["edge_mlp"][-1]["w"], kern["edge_mlp"][-1]["b"]
+        for _ in range(self.num_layers):
+            agg = fused_edge_conv_ad(h_e, linear(kern["linear"], h), w3, b3,
+                                     s_matrix, fused_aux, self.width,
+                                     self.width, rows_blk, blk, None,
+                                     gemm_dtype, interpret)
+            h = agg[:n] + h @ kern["root"] + kern["bias"]
+        return linear(params["fc_out"], h)
+
+    @staticmethod
+    def prepare_fused(senders, receivers, edge_attr, n_nodes,
+                      edge_mask=None, rows_blk: int = 64, quantum: int = 256):
+        from ..ops.fused_conv import prepare_fused
+
+        return prepare_fused(senders, receivers, edge_attr, n_nodes,
+                             edge_mask, rows_blk, quantum)
+
+    @staticmethod
+    def prepare_fused_train(senders, receivers, edge_attr, n_nodes,
+                            edge_mask=None, rows_blk: int = 64,
+                            quantum: int = 256):
+        from ..ops.fused_conv import prepare_fused_train
+
+        return prepare_fused_train(senders, receivers, edge_attr, n_nodes,
+                                   edge_mask, rows_blk, quantum)
+
     def import_pth(self, state_dict) -> dict:
         """Params from a reference checkpoint.
 

@@ -449,3 +449,29 @@ def _fused_ad_bwd(c_in, c_out, rows_blk, blk, sub, gemm_dtype, interpret,
 
 
 fused_edge_conv_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
+
+
+def prepare_fused(senders, receivers, edge_attr, n_nodes, edge_mask=None,
+                  rows_blk: int = 64, quantum: int = 256):
+    """Host-side (numpy) fused-path operands for a static graph — shared by
+    every edge-conditioned model family (KernelNN, TEECNet).
+
+    Returns (edge_attr_blocked, senders_perm, s_matrix, rows_blk, blk).
+    """
+    blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
+                                  rows_blk=rows_blk, quantum=quantum)
+    ea = np.asarray(edge_attr)[blocks.edge_perm]
+    return (ea, blocks.senders_perm, blocks.s_matrix, blocks.rows_blk,
+            blocks.blk)
+
+
+def prepare_fused_train(senders, receivers, edge_attr, n_nodes,
+                        edge_mask=None, rows_blk: int = 64,
+                        quantum: int = 256):
+    """Host-side operands for the differentiable fused path:
+    (edge_attr_blocked, fused_aux, s_matrix, rows_blk, blk)."""
+    blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
+                                  rows_blk=rows_blk, quantum=quantum)
+    ea = np.asarray(edge_attr)[blocks.edge_perm]
+    return (ea, blocks.train_aux(), blocks.s_matrix, blocks.rows_blk,
+            blocks.blk)

@@ -181,6 +181,7 @@ class PartitionScheduler:
         # FESR_FUSED_TRAIN=0 reverts to the XLA path.
         fused_train = (merged and jax.default_backend() in ("tpu", "axon")
                        and hasattr(train_model, "apply_fused_ad")
+                       and getattr(train_model, "fused_ok", True)
                        and os.environ.get("FESR_FUSED_TRAIN", "1") != "0")
         pretrained = self._load_models() if start_from_pretrained else None
 
@@ -418,19 +419,26 @@ class PartitionScheduler:
 
         # fused Pallas conv path (ops/fused_conv.py): per-edge matrices stay
         # VMEM-resident, scatter-mean as a dense MXU matmul — measured 2.85x
-        # over edge3d on v5e (1,183k vs 415k nodes/s).  Single-device,
-        # single-expert TPU inference only; scatter blocks are host-built
+        # over edge3d on v5e (1,183k vs 415k nodes/s).  Single-device TPU
+        # inference (single-expert AND routed); scatter blocks are host-built
         # per merged chunk (graph-static, ~0.4 s per 500k edges).
-        use_fused = (jax.default_backend() in ("tpu", "axon")
-                     and self.num_partitions == 1
+        # FESR_FUSED_PREDICT=force takes the path on any backend in Pallas
+        # interpret mode — CPU test coverage for the chunk/grouping logic.
+        fused_env = os.environ.get("FESR_FUSED_PREDICT", "1")
+        use_fused = ((jax.default_backend() in ("tpu", "axon")
+                      or fused_env == "force")
                      and hasattr(infer_model, "apply_fused")
+                     and getattr(infer_model, "fused_ok", True)
                      and (self.mesh is None or len(self.mesh.devices) == 1)
-                     and os.environ.get("FESR_FUSED_PREDICT", "1") != "0")
+                     and fused_env != "0")
         if use_fused:
+            interp = fused_env == "force" and jax.default_backend() not in (
+                "tpu", "axon")
             fused_jit = jax.jit(
                 lambda params, xm, ea_b, sp, sm, rows_blk, blk, shape:
                 infer_model.apply_fused(params, xm, ea_b, sp, sm,
-                                        rows_blk=rows_blk, blk=blk
+                                        rows_blk=rows_blk, blk=blk,
+                                        interpret=interp
                                         ).reshape(shape),
                 static_argnums=(5, 6, 7))
 
@@ -488,7 +496,38 @@ class PartitionScheduler:
                 preds[s:s + o.shape[0]] = o
             return preds
 
-        if self.num_partitions > 1:
+        if self.num_partitions > 1 and use_fused:
+            # routed fused path (round 2): group subdomains by expert label so
+            # every chunk is single-expert, then run each expert's chunks
+            # through the fused Pallas kernel with that expert's params —
+            # same 2.85x as single-expert (the stacked-expert XLA dispatch
+            # remains the multi-device path).  Tail chunks are padded by
+            # repeating the last subdomain (keeps one compiled chunk shape;
+            # the duplicate rows are discarded on write-back).
+            e_budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
+            e_per_graph = batch.senders.shape[1]
+            chunk_b = max(1, min(batch.x.shape[0],
+                                 e_budget // max(e_per_graph, 1)))
+            b_total = batch.x.shape[0]
+            preds = None
+            for k in range(self.num_partitions):
+                sel = np.flatnonzero(lab[:b_total] == k)
+                for start in range(0, len(sel), chunk_b):
+                    idx = sel[start:start + chunk_b]
+                    real = len(idx)
+                    if real < chunk_b:
+                        idx = np.concatenate(
+                            [idx, np.repeat(idx[-1:], chunk_b - real)])
+                    chunk = jax.tree_util.tree_map(lambda a: a[idx], batch)
+                    out = np.asarray(fused_expert(self.params_list[k], chunk))
+                    if preds is None:
+                        preds = np.zeros((b_total,) + out.shape[1:],
+                                         np.float32)
+                    preds[idx[:real]] = out[:real]
+            if preds is None:  # no labels at all (empty batch) — defensive
+                preds = _chunked(
+                    lambda c, s, e: routed(stacked, jnp.asarray(lab)[s:e], c))
+        elif self.num_partitions > 1:
             # same edge-budget envelope as single-expert (a large routed mesh
             # would otherwise hit the 2.7x lane-padded transient whole-batch)
             lab_j = jnp.asarray(lab)

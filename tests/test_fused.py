@@ -195,3 +195,81 @@ def test_fused_training_loss_and_grads_match_merged():
         params, opt_state, loss = trainer.step(params, opt_state, fused_batch)
     assert np.isfinite(float(loss))
     assert float(loss) < first, (float(loss), first)
+
+
+def test_teecnet_fused_matches_apply():
+    """TEECNet.apply_fused == TEECNet.apply (dense kernel, interpret mode):
+    the fused kernel applies to linear(x_j) with the pre-linear root update
+    (reference KernelConv, model.py:426-445)."""
+    from fast_eng_super_resolution_tpu.models.teecnet import TEECNet
+
+    rng = np.random.default_rng(3)
+    n, e = 120, 1000
+    model = TEECNet(in_channels=4, width=12, out_channels=4, num_layers=3)
+    assert model.fused_ok
+    params = model.init(jax.random.PRNGKey(0))
+    recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    send = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) > 0.1
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    ea = (rng.random((e, 1)) + 0.1).astype(np.float32)
+
+    ref = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(send),
+                                 jnp.asarray(recv), jnp.asarray(ea),
+                                 edge_mask=jnp.asarray(mask)))
+    ea_b, sp, sm, rows_blk, blk = model.prepare_fused(
+        send, recv, ea, n, mask, rows_blk=16, quantum=64)
+    got = np.asarray(model.apply_fused(
+        params, jnp.asarray(x), jnp.asarray(ea_b), jnp.asarray(sp),
+        jnp.asarray(sm), rows_blk=rows_blk, blk=blk, gemm_dtype="float32",
+        interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_teecnet_fused_ad_grad_parity():
+    """Gradients of TEECNet's fused training path match the XLA apply."""
+    from fast_eng_super_resolution_tpu.models.teecnet import TEECNet
+
+    rng = np.random.default_rng(4)
+    n, e = 80, 600
+    model = TEECNet(in_channels=4, width=8, out_channels=4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(1))
+    recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    send = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) > 0.1
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    ea = (rng.random((e, 1)) + 0.1).astype(np.float32)
+    y = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+
+    def loss_ref(p):
+        out = model.apply(p, x, jnp.asarray(send), jnp.asarray(recv),
+                          jnp.asarray(ea), edge_mask=jnp.asarray(mask))
+        return jnp.mean((out - y) ** 2)
+
+    ea_b, aux, sm, rows_blk, blk = model.prepare_fused_train(
+        send, recv, ea, n, mask, rows_blk=16, quantum=64)
+    aux_j = {k: jnp.asarray(v) for k, v in aux.items()}
+
+    def loss_fused(p):
+        out = model.apply_fused_ad(p, x, jnp.asarray(ea_b), aux_j,
+                                   jnp.asarray(sm), rows_blk=rows_blk,
+                                   blk=blk, gemm_dtype="float32",
+                                   interpret=True)
+        return jnp.mean((out - y) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_f, g_f = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-4)
+    fa = jax.tree_util.tree_leaves(g_ref)
+    fb = jax.tree_util.tree_leaves(g_f)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_teecnet_powerseries_not_fused():
+    from fast_eng_super_resolution_tpu.models.teecnet import TEECNet
+
+    m = TEECNet(in_channels=4, width=8, out_channels=4,
+                kernel_type="powerseries")
+    assert not m.fused_ok

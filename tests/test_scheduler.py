@@ -284,3 +284,36 @@ def test_multichip_train_shard_map_impl(synth, tmp_path_factory, monkeypatch):
     with open(mfile) as f:
         rows = [json.loads(l) for l in f]
     assert all(np.isfinite(r["train_loss"]) for r in rows if "train_loss" in r)
+
+
+def test_routed_fused_predict_matches_xla(synth, tmp_path_factory, monkeypatch):
+    """FESR_FUSED_PREDICT=force: the routed predict path groups subdomains by
+    expert label and runs per-expert fused chunks (Pallas interpret on CPU);
+    results match the stacked-expert XLA dispatch."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.classifiers import KMeansClassifier
+    from fast_eng_super_resolution_tpu.sched.encoders import PCAEncoder
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_rf"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("rf_cpu", 2, synth, model, train=True,
+                               encoder=PCAEncoder(n_components=2),
+                               classifier=KMeansClassifier(2),
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=1, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    x = synth.get_one_full_sample(0)
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "0")
+    p_xla, r_xla, mi_xla, _ = sched.predict(x)
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    p_f, r_f, mi_f, _ = sched.predict(x)
+
+    np.testing.assert_array_equal(np.asarray(mi_xla), np.asarray(mi_f))
+    for a, b in zip(p_xla, p_f):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-2
+    for a, b in zip(r_xla, r_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
