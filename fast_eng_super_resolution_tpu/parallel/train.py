@@ -85,15 +85,12 @@ def merged_loss(model, params, graph: GraphBatch, kind: str = "gradient",
     return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
 
 
-def merged_fused_loss(model, params, batch: dict, rows_blk: int, blk: int,
-                      kind: str = "gradient", linf_weight: float = 0.1,
-                      gemm_dtype: str = "bfloat16",
-                      interpret: bool = False) -> jnp.ndarray:
-    """merged_loss through the fused Pallas conv (custom VJP — backward
-    recomputes per-edge matrices in VMEM instead of remat'ing [E, w^2]
-    residuals).  ``batch``: {'graph': merged GraphBatch, 'fused':
-    {'edge_attr', 'aux', 's'}} from ``KernelNN.prepare_fused_train``; the
-    gradient-weight and L-inf terms stay on the graph's own edge arrays."""
+def merged_fused_loss_parts(model, params, batch: dict, rows_blk: int,
+                            blk: int, gemm_dtype: str = "bfloat16",
+                            interpret: bool = False):
+    """(sq_sum, n_real, w_sum, linf_max) through the fused Pallas conv —
+    combinable across devices with psum/pmax before the nonlinear
+    composition (same contract as ``batched_loss_parts``)."""
     graph, fused = batch["graph"], batch["fused"]
     pred = model.apply_fused_ad(params, graph.x, fused["edge_attr"],
                                 fused["aux"], fused["s"], rows_blk=rows_blk,
@@ -106,7 +103,21 @@ def merged_fused_loss(model, params, batch: dict, rows_blk: int, blk: int,
                                graph.edge_attr, graph.edge_mask, graph.node_mask,
                                min_weight=0.0)
     linf = linf_loss(pred, graph.y, graph.node_mask)
-    return combine_loss_parts(sq_sum, n_real, w, linf, kind, linf_weight)
+    return sq_sum, n_real, w, linf
+
+
+def merged_fused_loss(model, params, batch: dict, rows_blk: int, blk: int,
+                      kind: str = "gradient", linf_weight: float = 0.1,
+                      gemm_dtype: str = "bfloat16",
+                      interpret: bool = False) -> jnp.ndarray:
+    """merged_loss through the fused Pallas conv (custom VJP — backward
+    recomputes per-edge matrices in VMEM instead of remat'ing [E, w^2]
+    residuals).  ``batch``: {'graph': merged GraphBatch, 'fused':
+    {'edge_attr', 'aux', 's'}} from ``prepare_fused_train``; the
+    gradient-weight and L-inf terms stay on the graph's own edge arrays."""
+    parts = merged_fused_loss_parts(model, params, batch, rows_blk, blk,
+                                    gemm_dtype, interpret)
+    return combine_loss_parts(*parts, kind=kind, linf_weight=linf_weight)
 
 
 def make_fused_batch(merged: GraphBatch, model, rows_blk: int = 64,
@@ -120,6 +131,61 @@ def make_fused_batch(merged: GraphBatch, model, rows_blk: int = 64,
              "aux": {k: jnp.asarray(v) for k, v in aux.items()},
              "s": jnp.asarray(s)}
     return {"graph": merged, "fused": fused}, rows_blk, blk
+
+
+def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
+                             rows_blk: int = 64, quantum: int = 256):
+    """Host prep for the multi-chip fused step: splits a [B, ...] batch into
+    ``n_dev`` per-device groups, merges each group block-diagonally, builds
+    that group's scatter blocks, unifies the block geometry (one compiled
+    kernel serves every device), and stacks everything on a leading device
+    axis ready to shard on the mesh's 'data' axis.
+
+    Returns (stacked_batch_dict, rows_blk, blk) where the dict leaves are
+    [n_dev, ...] arrays ({'graph': merged GraphBatch, 'fused': {...}}).
+    """
+    import numpy as np
+
+    from ..core.graph import merge_batch
+
+    b = batch.x.shape[0]
+    assert b % n_dev == 0, (b, n_dev)
+    per = b // n_dev
+    groups = []
+    for d in range(n_dev):
+        sl = slice(d * per, (d + 1) * per)
+        chunk = jax.tree_util.tree_map(lambda a: np.asarray(a)[sl], batch)
+        merged, _ = merge_batch(chunk)
+        groups.append(merged)
+
+    def build(quantum):
+        out = []
+        for merged in groups:
+            ea, aux, s, rb, bk = model.prepare_fused_train(
+                np.asarray(merged.senders), np.asarray(merged.receivers),
+                np.asarray(merged.edge_attr), merged.x.shape[0],
+                np.asarray(merged.edge_mask), rows_blk=rows_blk,
+                quantum=quantum)
+            out.append((merged, ea, aux, s, rb, bk))
+        return out
+
+    built = build(quantum)
+    blk_common = max(bk for *_, bk in built)
+    if any(bk != blk_common for *_, bk in built):
+        built = build(blk_common)
+
+    def stack(leaves):
+        return jnp.asarray(np.stack([np.asarray(l) for l in leaves]))
+
+    graphs = jax.tree_util.tree_map(lambda *xs: stack(xs),
+                                    *[g for g, *_ in built])
+    fused = {
+        "edge_attr": stack([ea for _, ea, *_ in built]),
+        "aux": {k: stack([aux[k] for _, _, aux, *_ in built])
+                for k in built[0][2]},
+        "s": stack([s for _, _, _, s, *_ in built]),
+    }
+    return {"graph": graphs, "fused": fused}, rows_blk, blk_common
 
 
 def stack_batches(batches):
@@ -299,6 +365,66 @@ class Trainer:
             loss, grads = jax.value_and_grad(global_loss)(params, batch)
             # grads of the psum'd loss are already partial-per-shard sums of a
             # shared scalar: all-reduce them to the replicated global gradient
+            grads = jax.lax.psum(grads, axis_name=axis)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def step(params, opt_state, batch):
+            specs_batch = jax.tree_util.tree_map(lambda _: P(axis), batch)
+            mapped = shard_map(
+                local_step, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P(), params),
+                          jax.tree_util.tree_map(lambda _: P(), opt_state),
+                          specs_batch),
+                out_specs=(jax.tree_util.tree_map(lambda _: P(), params),
+                           jax.tree_util.tree_map(lambda _: P(), opt_state),
+                           P()),
+                check_vma=False)
+            return mapped(params, opt_state, batch)
+
+        return jax.jit(step)
+
+    def make_fused_shard_map_step(self, mesh, rows_blk: int, blk: int,
+                                  axis: str = "data",
+                                  interpret: bool = False):
+        """Multi-chip FUSED train step: each device runs the fused Pallas
+        conv (custom VJP) on its own merged shard — per-device scatter
+        blocks ride the 'data' axis from ``make_fused_shard_batches`` — and
+        the loss parts + gradients psum over ICI.  The data-parallel story a
+        real pod runs with the flagship kernel; semantics match the
+        single-device fused step on the concatenated batch exactly (loss
+        parts are sums/maxes, combined after psum/pmax).
+
+        ``interpret=True`` runs the kernel as pure JAX ops — how the
+        8-virtual-CPU tests and ``dryrun_multichip`` validate this path
+        without TPU hardware.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        def global_loss(params, batch):
+            local = jax.tree_util.tree_map(lambda a: a[0], batch)
+            sq, n, w, linf = merged_fused_loss_parts(
+                self.model, params, local, rows_blk, blk,
+                self.fused_dtype, interpret)
+            sq = jax.lax.psum(sq, axis)
+            n = jax.lax.psum(n, axis)
+            w = jax.lax.psum(w, axis)
+            linf_sg = jax.lax.stop_gradient(linf)
+            linf_max = jax.lax.pmax(linf_sg, axis)
+            owner = (linf_sg == linf_max).astype(linf.dtype)
+            count = jax.lax.psum(owner, axis)
+            linf = jax.lax.psum(owner * linf, axis) / jnp.maximum(count, 1.0)
+            return combine_loss_parts(sq, n, w, linf, self.loss_kind,
+                                      self.linf_weight)
+
+        def local_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(global_loss)(params, batch)
             grads = jax.lax.psum(grads, axis_name=axis)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

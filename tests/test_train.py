@@ -236,3 +236,49 @@ def test_expert_sharded_routed_dispatch_over_mesh():
     labels_sharded = jax.device_put(labels, NamedSharding(mesh, P("data")))
     out = np.asarray(routed(stacked_sharded, labels_sharded, batch_sharded))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_shard_map_step_matches_single_device():
+    """Multi-chip fused training (per-device scatter blocks + psum'd loss
+    parts/grads over the 'data' axis) == the single-device fused step on the
+    concatenated batch.  Pallas interpret mode on the 8-virtual-CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.core.graph import merge_batch
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.mesh import make_mesh, replicate
+    from fast_eng_super_resolution_tpu.parallel.mesh import shard_batch
+    from fast_eng_super_resolution_tpu.parallel.train import (
+        Trainer, make_fused_batch, make_fused_shard_batches)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    batch = _make_batch(n_graphs=8)
+    model = KernelNN(width=8, ker_width=8, depth=2, in_width=4, out_width=4)
+
+    mesh = make_mesh(jax.devices()[:4])
+    sharded, rows_blk, blk = make_fused_shard_batches(batch, model, 4,
+                                                      rows_blk=16)
+    trainer = Trainer(model, lr=1e-3, donate=False, fused_dtype="float32",
+                      layout="fused", fused_rows_blk=rows_blk, fused_blk=blk,
+                      fused_interpret=True)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    params_rep = replicate(params, mesh)
+    sharded = shard_batch(sharded, mesh)
+    sm_step = trainer.make_fused_shard_map_step(mesh, rows_blk, blk,
+                                                interpret=True)
+    p_sm, _, loss_sm = sm_step(params_rep, opt_state, sharded)
+
+    # single-device reference: fused loss on the whole merged batch
+    merged, _ = merge_batch(batch)
+    ref_batch, rb2, blk2 = make_fused_batch(merged, model, rows_blk=16)
+    ref_trainer = Trainer(model, lr=1e-3, donate=False, layout="fused",
+                          fused_rows_blk=rb2, fused_blk=blk2,
+                          fused_dtype="float32", fused_interpret=True)
+    p_ref, _, loss_ref = ref_trainer.step(params, opt_state, ref_batch)
+
+    np.testing.assert_allclose(float(loss_sm), float(loss_ref), rtol=1e-5)
+    fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_ref)])
+    fb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_sm)])
+    np.testing.assert_allclose(fb, fa, rtol=1e-3, atol=1e-5)
