@@ -218,6 +218,7 @@ class PartitionScheduler:
                 trainer = Trainer(train_model, lr=train_config["lr"],
                                   layout="fused", fused_rows_blk=64,
                                   fused_blk=blk_common)
+            fused_mc_blk = None
             if not self._single_device():
                 # place every batch across the mesh (pad the batch axis to a
                 # device multiple; padded graphs are fully masked so they
@@ -232,7 +233,33 @@ class PartitionScheduler:
                         out.append((bidx, shard_batch(b, self.mesh)))
                     return out
 
-                train_batches = _shard_all(train_batches)
+                fused_mc = (os.environ.get("FESR_STEP_IMPL") == "shard_map_fused"
+                            and hasattr(train_model, "apply_fused_ad")
+                            and getattr(train_model, "fused_ok", True))
+                if fused_mc:
+                    # multi-chip FUSED training: per-device merged shards +
+                    # per-device scatter blocks, explicit psum step
+                    # (parallel/train.py:make_fused_shard_map_step); val
+                    # keeps the XLA batched eval
+                    from ..parallel.train import make_fused_shard_batches
+
+                    def _to_fused_mc(batches, quantum):
+                        out = []
+                        for bidx, b in batches:
+                            b, _ = pad_batch_to_multiple(b, ndev)
+                            fb, rb, bk = make_fused_shard_batches(
+                                b, train_model, ndev, quantum=quantum)
+                            out.append((bidx, fb, rb, bk))
+                        return out
+
+                    tmp = _to_fused_mc(train_batches, 256)
+                    fused_mc_blk = max(bk for *_, bk in tmp)
+                    if any(bk != fused_mc_blk for *_, bk in tmp):
+                        tmp = _to_fused_mc(train_batches, fused_mc_blk)
+                    train_batches = [(bidx, shard_batch(fb, self.mesh))
+                                     for bidx, fb, _, _ in tmp]
+                else:
+                    train_batches = _shard_all(train_batches)
                 val_batches = _shard_all(val_batches)
 
             key = jax.random.PRNGKey(seed + i)
@@ -277,7 +304,13 @@ class PartitionScheduler:
             stacked = (stack_batches([b for _, b in train_batches])
                        if self._single_device() else None)
             step_fn = trainer.step
-            if (not self._single_device()
+            if fused_mc_blk is not None:
+                # multi-chip fused step (interpret mode off-TPU so the CPU
+                # test mesh can execute the Pallas kernel as pure JAX ops)
+                step_fn = trainer.make_fused_shard_map_step(
+                    self.mesh, 64, fused_mc_blk,
+                    interpret=jax.default_backend() not in ("tpu", "axon"))
+            elif (not self._single_device()
                     and os.environ.get("FESR_STEP_IMPL") == "shard_map"):
                 # explicit-collective variant: per-shard grads + written-out
                 # psum over the ICI ring — the literal DDP-allreduce analogue

@@ -317,3 +317,45 @@ def test_routed_fused_predict_matches_xla(synth, tmp_path_factory, monkeypatch):
         assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-2
     for a, b in zip(r_xla, r_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multichip_train_fused_shard_map_impl(synth, tmp_path_factory,
+                                              monkeypatch):
+    """FESR_STEP_IMPL=shard_map_fused: multi-device training runs the fused
+    Pallas conv per device (interpret on CPU) with per-device scatter blocks
+    and psum'd grads, reachable from the orchestration layer."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import Trainer
+    from fast_eng_super_resolution_tpu.sched import scheduler as sched_mod
+
+    assert len(jax.devices()) == 8
+    monkeypatch.setenv("FESR_STEP_IMPL", "shard_map_fused")
+
+    calls = []
+    real = Trainer.make_fused_shard_map_step
+
+    def spy(self, mesh, rows_blk, blk, axis="data", interpret=False):
+        fn = real(self, mesh, rows_blk, blk, axis=axis, interpret=interpret)
+        def wrapped(*a, **k):
+            calls.append(1)
+            return fn(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(Trainer, "make_fused_shard_map_step", spy)
+
+    log_dir = str(tmp_path_factory.mktemp("logs_smf"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = sched_mod.PartitionScheduler("smf_impl", 1, synth, model,
+                                         train=True, log_dir=log_dir)
+    assert not sched._single_device()
+    config = dict(epochs=2, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    assert calls, "fused shard_map step was never used"
+    import glob, json, os
+    mfile = glob.glob(os.path.join(log_dir, "metrics", "*.jsonl"))[0]
+    with open(mfile) as f:
+        rows = [json.loads(l) for l in f]
+    assert all(np.isfinite(r["train_loss"]) for r in rows if "train_loss" in r)
