@@ -53,6 +53,7 @@ class PartitionScheduler:
         self.dataset = dataset
         self.log_dir = log_dir
         self.mesh = make_mesh() if use_mesh else None
+        self._fused_cache: dict = {}  # graph-content -> fused operands
         if num_partitions != 1:
             self.encoder = encoder
             self.classifier = classifier
@@ -480,13 +481,32 @@ class PartitionScheduler:
 
                 b, n = chunk.x.shape[0], chunk.x.shape[1]
                 merged, _ = merge_batch(chunk)
-                ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
-                    np.asarray(merged.senders), np.asarray(merged.receivers),
-                    np.asarray(merged.edge_attr), merged.x.shape[0],
-                    np.asarray(merged.edge_mask))
-                return fused_jit(params, merged.x, jnp.asarray(ea_b),
-                                 jnp.asarray(sp), jnp.asarray(sm), rows_blk,
-                                 blk, (b, n, -1))
+                send = np.asarray(merged.senders)
+                recv = np.asarray(merged.receivers)
+                ea = np.asarray(merged.edge_attr)
+                em = np.asarray(merged.edge_mask)
+                # serving steady state: scatter blocks are graph-static and
+                # cost ~0.4 s/500k edges to build — content-hash the graph
+                # arrays and reuse device-resident operands across repeated
+                # predict() calls on the same mesh (BASELINE.md serving row)
+                import hashlib
+
+                h = hashlib.blake2b(digest_size=16)
+                for a in (send, recv, ea, em):
+                    h.update(a.tobytes())
+                key = (h.hexdigest(), merged.x.shape[0])
+                hit = self._fused_cache.get(key)
+                if hit is None:
+                    ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
+                        send, recv, ea, merged.x.shape[0], em)
+                    hit = (jnp.asarray(ea_b), jnp.asarray(sp),
+                           jnp.asarray(sm), rows_blk, blk)
+                    if len(self._fused_cache) >= 8:
+                        self._fused_cache.pop(next(iter(self._fused_cache)))
+                    self._fused_cache[key] = hit
+                ea_b_j, sp_j, sm_j, rows_blk, blk = hit
+                return fused_jit(params, merged.x, ea_b_j, sp_j, sm_j,
+                                 rows_blk, blk, (b, n, -1))
 
         buckets = pad_and_bucket(raw, uniform=True)
         (_, idxs, batch) = buckets[0]

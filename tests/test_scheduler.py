@@ -359,3 +359,37 @@ def test_multichip_train_fused_shard_map_impl(synth, tmp_path_factory,
     with open(mfile) as f:
         rows = [json.loads(l) for l in f]
     assert all(np.isfinite(r["train_loss"]) for r in rows if "train_loss" in r)
+
+
+def test_fused_predict_block_cache(synth, tmp_path_factory, monkeypatch):
+    """Repeated predict() on the same mesh reuses the host-built scatter
+    blocks (serving steady state): prepare_fused runs once, results equal."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.ops import fused_conv as fc
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    calls = []
+    real = fc.prepare_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(fc, "prepare_fused", spy)
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+
+    log_dir = str(tmp_path_factory.mktemp("logs_fc"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("fcache", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=1, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    x = synth.get_one_full_sample(0)
+    p1, _, _, _ = sched.predict(x)
+    n_first = len(calls)
+    assert n_first >= 1
+    p2, _, _, _ = sched.predict(x)
+    assert len(calls) == n_first, "blocks rebuilt on repeated predict"
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
