@@ -46,9 +46,26 @@ def infer_cell_types(cells, dim: int = 3) -> np.ndarray:
       dim: 3 for volume meshes, 2 for surface meshes.
     """
     table = _NPOINTS_TO_TYPE_3D if dim == 3 else _NPOINTS_TO_TYPE_2D
+    # Unknown point counts (polyhedra, quadratic cells) degrade to VTK's
+    # arbitrary-point-count cell types instead of crashing the export after
+    # a completed prediction: VTK_CONVEX_POINT_SET (41) in 3-D, VTK_POLYGON
+    # (7) in 2-D — ParaView renders both.
+    fallback = np.uint8(41 if dim == 3 else 7)
+    warned: set = set()
+
+    def lookup(n: int) -> np.uint8:
+        t = table.get(n)
+        if t is None:
+            if n not in warned:
+                warned.add(n)
+                print(f"infer_cell_types: unknown {dim}-D cell with {n} "
+                      f"points; writing type {int(fallback)}")
+            return fallback
+        return t
+
     if isinstance(cells, np.ndarray) and cells.ndim == 2:
-        return np.full(len(cells), table[cells.shape[1]], np.uint8)
-    return np.array([table[len(c)] for c in cells], np.uint8)
+        return np.full(len(cells), lookup(cells.shape[1]), np.uint8)
+    return np.array([lookup(len(c)) for c in cells], np.uint8)
 
 
 def cells_to_edges(cells: np.ndarray, num_nodes: int | None = None) -> np.ndarray:

@@ -439,7 +439,7 @@ def _fused_ad_bwd(c_in, c_out, rows_blk, blk, sub, gemm_dtype, interpret,
     x_src = x[fused_aux["senders_perm"]]
     dh, dx_src, dw3, db3 = fused_edge_conv_bwd(
         g, h_blocked, x_src, w3, b3, s_matrix, c_in=c_in, c_out=c_out,
-        rows_blk=rows_blk, blk=blk, gemm_dtype=gemm_dtype,
+        rows_blk=rows_blk, blk=blk, sub=sub, gemm_dtype=gemm_dtype,
         interpret=interpret)
     n = x.shape[0]
     dx = jax.ops.segment_sum(dx_src, fused_aux["senders_dump"],

@@ -44,7 +44,11 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
             # per_subdomain_field_norm: model I/O is amplitude-normalized per
             # subdomain (data/dataset.py:_read_subdomain); re-scale to
             # physical units before stitching so reconstruction and the
-            # improvement metric stay comparable with un-normalized runs
+            # improvement metric stay comparable with un-normalized runs.
+            # Known limitation: weights_list stays in normalized units — it
+            # is unused downstream (same as the reference, which computes but
+            # never consumes it; SURVEY §3.2 drift note), so only a consumer
+            # added later would need the per-subdomain rescale
             pred_y_list = [np.asarray(p) * d["field_scale"]
                            for p, d in zip(pred_y_list, x)]
             ref_y_list = [np.asarray(r) * d["field_scale"]

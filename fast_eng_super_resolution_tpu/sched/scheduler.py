@@ -382,12 +382,14 @@ class PartitionScheduler:
 
             _, batch = val_batches[0]
             pred = np.asarray(trainer.predict(params, batch))
+            # fused layout carries {'graph', 'fused'}; plotting reads the graph
+            graph = batch["graph"] if isinstance(batch, dict) else batch
             if pred.ndim == 3:  # batched layout: take the first graph
-                pos, x, y, p = (np.asarray(batch.pos[0]), np.asarray(batch.x[0]),
-                                np.asarray(batch.y[0]), pred[0])
+                pos, x, y, p = (np.asarray(graph.pos[0]), np.asarray(graph.x[0]),
+                                np.asarray(graph.y[0]), pred[0])
             else:  # merged layout
-                pos, x, y, p = (np.asarray(batch.pos), np.asarray(batch.x),
-                                np.asarray(batch.y), pred)
+                pos, x, y, p = (np.asarray(graph.pos), np.asarray(graph.x),
+                                np.asarray(graph.y), pred)
             plot_3d_prediction(
                 pos, x, y, p, save_mode="save_png",
                 path=os.path.join(self.log_dir, "figures", self.name,
@@ -463,7 +465,8 @@ class PartitionScheduler:
                       or fused_env == "force")
                      and hasattr(infer_model, "apply_fused")
                      and getattr(infer_model, "fused_ok", True)
-                     and (self.mesh is None or len(self.mesh.devices) == 1)
+                     and (self.mesh is None
+                          or self.mesh.devices.size == 1)
                      and fused_env != "0")
         if use_fused:
             interp = fused_env == "force" and jax.default_backend() not in (
@@ -495,23 +498,35 @@ class PartitionScheduler:
                 for a in (send, recv, ea, em):
                     h.update(a.tobytes())
                 key = (h.hexdigest(), merged.x.shape[0])
-                hit = self._fused_cache.get(key)
-                if hit is None:
+                entry = self._fused_cache.get(key)
+                if entry is None:
                     ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
                         send, recv, ea, merged.x.shape[0], em)
-                    hit = (jnp.asarray(ea_b), jnp.asarray(sp),
+                    ops = (jnp.asarray(ea_b), jnp.asarray(sp),
                            jnp.asarray(sm), rows_blk, blk)
-                    if len(self._fused_cache) >= 8:
-                        self._fused_cache.pop(next(iter(self._fused_cache)))
-                    self._fused_cache[key] = hit
-                ea_b_j, sp_j, sm_j, rows_blk, blk = hit
+                    # byte-budgeted FIFO (a fixed entry COUNT would thrash
+                    # whenever one mesh chunks into more pieces than the
+                    # cap): S dominates entry size; default 2 GB of HBM,
+                    # FESR_FUSED_CACHE_BYTES=0 disables caching
+                    budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES",
+                                                2 << 30))
+                    nbytes = sum(int(a.size) * 4 for a in ops[:3])
+                    if nbytes <= budget:
+                        self._fused_cache[key] = (ops, nbytes)
+                        total = sum(b for _, b in self._fused_cache.values())
+                        while total > budget:
+                            old_key = next(iter(self._fused_cache))
+                            total -= self._fused_cache.pop(old_key)[1]
+                    entry = (ops, nbytes)
+                ea_b_j, sp_j, sm_j, rows_blk, blk = entry[0]
                 return fused_jit(params, merged.x, ea_b_j, sp_j, sm_j,
                                  rows_blk, blk, (b, n, -1))
 
         buckets = pad_and_bucket(raw, uniform=True)
         (_, idxs, batch) = buckets[0]
-        if self.mesh is not None and len(self.mesh.devices) > 1:
-            batch, real_b = pad_batch_to_multiple(batch, len(self.mesh.devices))
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            batch, real_b = pad_batch_to_multiple(batch,
+                                                  self.mesh.devices.size)
             batch = shard_batch(batch, self.mesh)
             lab = np.zeros(batch.x.shape[0], dtype=np.int32)
             lab[:real_b] = labels[idxs]
@@ -519,18 +534,24 @@ class PartitionScheduler:
             real_b = batch.x.shape[0]
             lab = labels[idxs].astype(np.int32)
 
-        multi_dev = self.mesh is not None and len(self.mesh.devices) > 1
-        ndev = len(self.mesh.devices) if multi_dev else 1
+        multi_dev = self.mesh is not None and self.mesh.devices.size > 1
+        ndev = self.mesh.devices.size if multi_dev else 1
+
+        def _chunk_b() -> int:
+            # edge-budget chunk sizing, shared by _chunked and the
+            # routed-fused path (one policy, one place)
+            e_budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
+            e_per_graph = batch.senders.shape[1]
+            cb = max(1, min(batch.x.shape[0],
+                            e_budget // max(e_per_graph, 1)))
+            return max(ndev, (cb // ndev) * ndev)
 
         def _chunked(apply_chunk):
             # chunk to bound the per-edge transient (~24 KB/edge at w=48 with
             # the lane-padded edge3d form); one compile per chunk shape.
             # Multi-device chunks stay device-multiples and are re-sharded so
             # the batch axis keeps riding the mesh.
-            e_budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
-            e_per_graph = batch.senders.shape[1]
-            chunk_b = max(1, min(batch.x.shape[0], e_budget // max(e_per_graph, 1)))
-            chunk_b = max(ndev, (chunk_b // ndev) * ndev)
+            chunk_b = _chunk_b()
             outs = []
             b_total = batch.x.shape[0]
             start = 0
@@ -557,10 +578,7 @@ class PartitionScheduler:
             # remains the multi-device path).  Tail chunks are padded by
             # repeating the last subdomain (keeps one compiled chunk shape;
             # the duplicate rows are discarded on write-back).
-            e_budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
-            e_per_graph = batch.senders.shape[1]
-            chunk_b = max(1, min(batch.x.shape[0],
-                                 e_budget // max(e_per_graph, 1)))
+            chunk_b = _chunk_b()
             b_total = batch.x.shape[0]
             preds = None
             for k in range(self.num_partitions):
