@@ -187,6 +187,44 @@ def bench_train(raw, iters: int = 4):
     return tput, info
 
 
+def bench_fno(iters: int = 20) -> float:
+    """Grid-family row (round 3, VERDICT missing #3): FNO2d forward
+    throughput in cells/s on the available accelerator, chained-scan timed.
+
+    Runs the matmul-DFT spectral conv (models/fno.py) — the TPU production
+    path; the advected-task shape (batch 8 of 64x64, width 16, modes 12 —
+    configs/exp_config/fno_advected.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    b, hw = (2, 16) if SMALL else (8, 64)
+    model = FNO2d(modes1=12, modes2=12, width=16, in_feats=1,
+                  spectral_impl="matmul" if jax.default_backend() != "cpu"
+                  else "fft")
+    params = model.init(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, hw, hw, 1))
+
+    @jax.jit
+    def chained(params, x0):
+        def body(x, _):
+            out = model.apply(params, x)
+            return out[..., :1] * 1e-3 + x0, None
+
+        x, _ = jax.lax.scan(body, x0, None, length=iters)
+        return x
+
+    chained(params, x0).block_until_ready()
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(jnp.sum(chained(params, x0)))  # host sync forces execution
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / iters
+    return b * hw * hw / dt
+
+
 def bench_torch_baseline(raw, params, model) -> float:
     """The reference's math via the independent torch oracle on CPU."""
     import jax
@@ -221,6 +259,11 @@ def main():
         print(f"train bench failed: {e!r}", file=sys.stderr)
         train_tput, train_info = 0.0, {}
     try:
+        fno_tput = bench_fno()
+    except Exception as e:
+        print(f"fno bench failed: {e!r}", file=sys.stderr)
+        fno_tput = 0.0
+    try:
         base_tput = bench_torch_baseline(raw, params, model)
         vs = jax_tput / base_tput
     except Exception:
@@ -233,6 +276,7 @@ def main():
         # secondary metrics (driver contract keys above are unchanged):
         # fwd+bwd+Adam merged-layout path, regression-visible per round
         "train_nodes_per_s": round(train_tput, 1),
+        "fno_cells_per_s": round(fno_tput, 1),
     }
     if "train_tflops" in train_info:
         rec["train_tflops"] = round(train_info["train_tflops"], 3)

@@ -156,8 +156,17 @@ class _PartitionedGraphDataset:
             # interchangeable across flag settings.
             x = out["x"]
             c = x.shape[1]
+            if out["y"].shape != x.shape:
+                # field_scale multiplies predictions AND refs back to physical
+                # units downstream (runner.pred_graph_ALDD), so a y with a
+                # different channel layout would silently get wrong units
+                raise ValueError(
+                    "per_subdomain_field_norm requires matching x/y shapes, "
+                    f"got x {x.shape} vs y {out['y'].shape}")
             scale = np.empty(c, np.float32)
-            if c >= 4:
+            if c >= 3:
+                # first 3 channels are velocity components: one joint scale
+                # preserves flow direction (c == 3 means velocity-only data)
                 scale[:3] = max(float(np.abs(x[:, :3]).max()), 1e-8)
                 for j in range(3, c):
                     scale[j] = max(float(np.abs(x[:, j]).max()), 1e-8)
@@ -165,8 +174,7 @@ class _PartitionedGraphDataset:
                 for j in range(c):
                     scale[j] = max(float(np.abs(x[:, j]).max()), 1e-8)
             out["x"] = x / scale
-            if out["y"].shape == x.shape:
-                out["y"] = out["y"] / scale
+            out["y"] = out["y"] / scale
             out["field_scale"] = scale
         return out
 

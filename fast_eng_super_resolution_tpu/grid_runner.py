@@ -85,21 +85,25 @@ def train_grid(exp_name: str, model, dataset, train_config: dict,
     trainer = GridTrainer(model, lr=lr, out_channels=target_c)
     params, opt_state = trainer.init(
         jax.random.PRNGKey(int(exp_config.get("seed", 0))), x_tr)
+    import jax.numpy as jnp
+
+    x_tr, y_tr = jnp.asarray(x_tr), jnp.asarray(y_tr)  # upload once
 
     logger = MetricLogger(exp_name, log_dir, config=dict(train_config))
     rng = np.random.default_rng(0)
     best_val = float("inf")
     path = _collection_path(log_dir, exp_name)
     n_tr = len(train_idx)
+    n_batches = max(1, n_tr // batch_size)
     for epoch in range(epochs):
-        order = rng.permutation(n_tr)
-        losses = []
-        for s in range(0, n_tr, batch_size):
-            sel = order[s:s + batch_size]
-            params, opt_state, loss = trainer.step(
-                params, opt_state, x_tr[sel], y_tr[sel])
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses))
+        # scanned epoch: one device dispatch (tunnel-latency immunity); the
+        # permutation is truncated to full batches — with shuffling every
+        # sample is still seen with equal probability across epochs
+        order = rng.permutation(n_tr)[: n_batches * batch_size]
+        order = order.reshape(n_batches, batch_size)
+        params, opt_state, losses = trainer.epoch(
+            params, opt_state, x_tr, y_tr, order)
+        train_loss = float(np.mean(np.asarray(losses)))
         opt_state = trainer.set_lr(opt_state, sched(epoch + 1))
         if epoch % val_interval == 0 or epoch == epochs - 1:
             val_loss = trainer.evaluate(params, x_va, y_va)

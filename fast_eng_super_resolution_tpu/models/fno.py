@@ -7,18 +7,25 @@ lift Linear(in_feats+2 -> width) with a normalized grid concat
 (model.py:100-141).  The reference hardcodes the lift input at 258
 (model.py:85); here it is ``in_feats + 2``.
 
-TPU notes: XLA lowers jnp.fft to a native TPU FFT; the mode-mix einsum is a
-small dense complex matmul that XLA fuses with the FFT shuffles.  Complex
-weights are stored as separate real/imag float32 arrays (TPU has no complex
-register type; this keeps checkpoints pure-real pytrees).
+TPU notes: the truncated spectral conv touches only ``2*m1`` DFT rows and
+``m2`` rDFT columns, so the whole rFFT2 -> mode-mix -> irFFT2 chain reduces to
+four small dense matmuls against precomputed DFT matrices (impl='matmul') —
+pure MXU work, no FFT primitive at all.  This is the default on accelerators
+(and the only option on backends whose XLA has no FFT lowering, e.g. the axon
+relay); impl='fft' keeps the jnp.fft path for CPU parity.  Complex weights are
+stored as separate real/imag float32 arrays (TPU has no complex register type;
+this keeps checkpoints pure-real pytrees).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .common import linear, linear_init
 
@@ -51,6 +58,74 @@ def _spectral_conv(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndarray:
     return jnp.fft.irfft2(out_ft, s=(h, w))
 
 
+@functools.lru_cache(maxsize=32)
+def _dft_mats(h: int, w: int, m1: int, m2: int):
+    """Precomputed truncated-DFT matrices (numpy, converted at trace time).
+
+    Matches jnp.fft.rfft2 / irfft2 restricted to the kept modes (rows
+    ``[0:m1] + [h-m1:h]``, cols ``[0:m2]``), including irfft's ignored
+    imaginary parts of the DC / Nyquist columns (the final ``Re``).
+    """
+    if h < 2 * m1 or m2 > w // 2 + 1:
+        raise ValueError(
+            f"grid {h}x{w} too small for matmul-DFT modes ({m1},{m2}); "
+            "pad the domain or reduce modes")
+    rows = np.concatenate([np.arange(m1), np.arange(h - m1, h)])
+    hh = np.arange(h)[:, None]
+    ww = np.arange(w)[:, None]
+    kw = np.arange(m2)
+    fw = np.exp(-2j * np.pi * ww * kw[None, :] / w)          # [W, m2] fwd rDFT
+    fh = np.exp(-2j * np.pi * hh * rows[None, :] / h)        # [H, 2m1] fwd DFT
+    gh = np.exp(2j * np.pi * rows[:, None] * np.arange(h)[None, :] / h) / h
+    c = np.full(m2, 2.0)
+    c[0] = 1.0
+    if w % 2 == 0 and m2 - 1 == w // 2:
+        c[-1] = 1.0  # Nyquist column is not mirrored
+    gw = (c[:, None] / w) * np.exp(2j * np.pi * kw[:, None] * np.arange(w)[None, :] / w)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    return {k: (f32(v.real), f32(v.imag))
+            for k, v in {"fw": fw, "fh": fh, "gh": gh, "gw": gw}.items()}
+
+
+def _spectral_conv_matmul(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndarray:
+    """FFT-free spectral conv: four truncated-DFT matmuls + mode mix.
+
+    Bit-equivalent (to f32 tolerance) to ``_spectral_conv``; runs entirely on
+    the MXU.  Complex arithmetic is expanded over separate re/im operands.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    mats = _dft_mats(h, w, m1, m2)
+    fw_re, fw_im = map(jnp.asarray, mats["fw"])
+    fh_re, fh_im = map(jnp.asarray, mats["fh"])
+    gh_re, gh_im = map(jnp.asarray, mats["gh"])
+    gw_re, gw_im = map(jnp.asarray, mats["gw"])
+
+    # forward: X[r,k] = sum_{h,w} x[h,w] Fh[h,r] Fw[w,k]   (x real)
+    xw_re = jnp.einsum("bchw,wk->bchk", x, fw_re)
+    xw_im = jnp.einsum("bchw,wk->bchk", x, fw_im)
+    x_re = jnp.einsum("bchk,hr->bcrk", xw_re, fh_re) - jnp.einsum(
+        "bchk,hr->bcrk", xw_im, fh_im)
+    x_im = jnp.einsum("bchk,hr->bcrk", xw_re, fh_im) + jnp.einsum(
+        "bchk,hr->bcrk", xw_im, fh_re)
+
+    # mode mixing: weights for rows [0:m1] (w1) and [h-m1:h] (w2), stacked
+    w_re = jnp.concatenate([p["w1_re"], p["w2_re"]], axis=2)  # [Ci,Co,2m1,m2]
+    w_im = jnp.concatenate([p["w1_im"], p["w2_im"]], axis=2)
+    y_re = jnp.einsum("birk,iork->bork", x_re, w_re) - jnp.einsum(
+        "birk,iork->bork", x_im, w_im)
+    y_im = jnp.einsum("birk,iork->bork", x_re, w_im) + jnp.einsum(
+        "birk,iork->bork", x_im, w_re)
+
+    # inverse: out = Re( Gh^T Y Gw ) — Re() reproduces irfft's ignored
+    # DC/Nyquist imaginary parts, so only the real-output matmuls are needed
+    z_re = jnp.einsum("bork,rh->bohk", y_re, gh_re) - jnp.einsum(
+        "bork,rh->bohk", y_im, gh_im)
+    z_im = jnp.einsum("bork,rh->bohk", y_re, gh_im) + jnp.einsum(
+        "bork,rh->bohk", y_im, gh_re)
+    return jnp.einsum("bohk,kw->bohw", z_re, gw_re) - jnp.einsum(
+        "bohk,kw->bohw", z_im, gw_im)
+
+
 def _conv1x1_init(key, c_in: int, c_out: int) -> dict:
     # torch Conv2d(k=1) default init == Linear over the channel dim
     return linear_init(key, c_in, c_out)
@@ -75,6 +150,18 @@ class FNO2d:
     width: int
     in_feats: int = 256
     padding: int = 9
+    # 'fft' | 'matmul' | 'auto' (env FESR_FNO_IMPL overrides).  auto -> fft on
+    # CPU (XLA's pocketfft is fastest there), matmul on accelerators (MXU
+    # matmuls; also the only choice where the backend lacks an FFT lowering).
+    spectral_impl: str = "auto"
+
+    def _resolve_impl(self) -> str:
+        impl = os.environ.get("FESR_FNO_IMPL", self.spectral_impl)
+        if impl == "auto":
+            impl = "fft" if jax.default_backend() == "cpu" else "matmul"
+        if impl not in ("fft", "matmul"):
+            raise ValueError(f"unknown spectral impl {impl!r}")
+        return impl
 
     def init(self, key) -> dict:
         w = self.width
@@ -137,9 +224,11 @@ class FNO2d:
         x = jnp.transpose(x, (0, 3, 1, 2))  # [B, C, H, W]
         pad = self.padding
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, pad)))
+        spectral = (_spectral_conv if self._resolve_impl() == "fft"
+                    else _spectral_conv_matmul)
 
         for i in range(4):
-            x1 = _spectral_conv(params[f"conv{i}"], x, self.modes1, self.modes2)
+            x1 = spectral(params[f"conv{i}"], x, self.modes1, self.modes2)
             x1 = _mlp_block(params[f"mlp{i}"], x1)
             x2 = _conv1x1(params[f"w{i}"], x)
             x = x1 + x2

@@ -39,7 +39,24 @@ class GridTrainer:
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        def epoch(params, opt_state, x, y, order):
+            """One scanned epoch: order [S, B] of sample indices.
+
+            A single device dispatch regardless of batch count — essential on
+            tunneled backends (~0.5 s/dispatch, CLAUDE.md) and cheap anywhere.
+            """
+
+            def body(carry, sel):
+                params, opt_state = carry
+                params, opt_state, loss = step(params, opt_state, x[sel], y[sel])
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), order)
+            return params, opt_state, losses
+
         self._step = jax.jit(step)
+        self._epoch = jax.jit(epoch)
         self._loss = jax.jit(loss_fn)
         self._predict = jax.jit(predict)
 
@@ -47,8 +64,7 @@ class GridTrainer:
         k1, k2 = jax.random.split(key)
         params = {"model": self.model.init(k1)}
         if self.out_channels is not None:
-            out_dim = np.asarray(
-                self._probe_out(params["model"], sample_x)).shape[-1]
+            out_dim = self._probe_out(params["model"], sample_x).shape[-1]
             if out_dim != self.out_channels:
                 from ..models.common import linear_init
 
@@ -56,10 +72,17 @@ class GridTrainer:
         return params, self.optimizer.init(params)
 
     def _probe_out(self, model_params, sample_x):
-        return self.model.apply(model_params, sample_x[:1])
+        # eval_shape: no device execution — an eager probe costs hundreds of
+        # tunnel round-trips on relay backends (~0.5 s/op, CLAUDE.md)
+        return jax.eval_shape(self.model.apply, model_params,
+                              jnp.zeros_like(jnp.asarray(sample_x[:1])))
 
     def step(self, params, opt_state, x, y):
         return self._step(params, opt_state, x, y)
+
+    def epoch(self, params, opt_state, x, y, order):
+        """order: [n_batches, batch_size] int32 sample indices."""
+        return self._epoch(params, opt_state, x, y, jnp.asarray(order, jnp.int32))
 
     def evaluate(self, params, x, y) -> float:
         return float(self._loss(params, x, y))

@@ -32,6 +32,21 @@ from ..core.graph import GraphBatch
 from ..ops.loss import gradient_weight_scalar, linf_loss
 
 
+def _import_shard_map():
+    """shard_map + the name of its replication-check kwarg.
+
+    jax >= 0.8 exports ``jax.shard_map`` (kwarg ``check_vma``); the legacy
+    experimental API spells it ``check_rep`` — passing the wrong one is a
+    TypeError, so the caller must pair function and kwarg (ADVICE r2).
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+        return shard_map, "check_vma"
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        return shard_map, "check_rep"
+
+
 def batched_loss_parts(model, params, batch: GraphBatch):
     """Per-batch partial sums (sq_sum, n_real, w_sum, linf_max) — combinable
     across devices with psum/pmax before the nonlinear composition."""
@@ -337,10 +352,7 @@ class Trainer:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        try:
-            from jax import shard_map  # jax >= 0.8
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
+        shard_map, no_check_kw = _import_shard_map()
 
         def global_loss(params, batch):
             # psum/pmax the loss PARTS, then compose — exactly the single-
@@ -380,7 +392,7 @@ class Trainer:
                 out_specs=(jax.tree_util.tree_map(lambda _: P(), params),
                            jax.tree_util.tree_map(lambda _: P(), opt_state),
                            P()),
-                check_vma=False)
+                **{no_check_kw: False})
             return mapped(params, opt_state, batch)
 
         return jax.jit(step)
@@ -402,10 +414,7 @@ class Trainer:
         """
         from jax.sharding import PartitionSpec as P
 
-        try:
-            from jax import shard_map  # jax >= 0.8
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
+        shard_map, no_check_kw = _import_shard_map()
 
         def global_loss(params, batch):
             local = jax.tree_util.tree_map(lambda a: a[0], batch)
@@ -440,7 +449,7 @@ class Trainer:
                 out_specs=(jax.tree_util.tree_map(lambda _: P(), params),
                            jax.tree_util.tree_map(lambda _: P(), opt_state),
                            P()),
-                check_vma=False)
+                **{no_check_kw: False})
             return mapped(params, opt_state, batch)
 
         return jax.jit(step)

@@ -125,23 +125,41 @@ class VAEEncoder(Encoder):
         }
 
     @staticmethod
-    def _encode(params, x):
+    def _dropout(h, rate, key):
+        """Inverted dropout on hidden activations (train only).
+
+        Fidelity: the reference TBVAE interleaves nn.Dropout in its
+        encoder/decoder stacks (encoder.py:25-93); inference (get_latent_space)
+        runs without it, like torch eval mode.
+        """
+        import jax
+
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, h.shape)
+        return jax.numpy.where(mask, h / keep, 0.0)
+
+    @classmethod
+    def _encode(cls, params, x, dropout: float = 0.0, key=None):
         import jax
 
         from ..models.common import linear
         h = x
-        for layer in params["enc"]:
+        for i, layer in enumerate(params["enc"]):
             h = jax.nn.relu(linear(layer, h))
+            if dropout > 0.0 and key is not None:
+                h = cls._dropout(h, dropout, jax.random.fold_in(key, i))
         return linear(params["mu"], h), linear(params["logvar"], h)
 
-    @staticmethod
-    def _decode(params, z):
+    @classmethod
+    def _decode(cls, params, z, dropout: float = 0.0, key=None):
         import jax
 
         from ..models.common import linear
         h = z
-        for layer in params["dec"][:-1]:
+        for i, layer in enumerate(params["dec"][:-1]):
             h = jax.nn.relu(linear(layer, h))
+            if dropout > 0.0 and key is not None:
+                h = cls._dropout(h, dropout, jax.random.fold_in(key, 100 + i))
         return linear(params["dec"][-1], h)
 
     def train(self, dataset, save_model: bool = False, path: str | None = None):
@@ -155,10 +173,11 @@ class VAEEncoder(Encoder):
         opt_state = opt.init(self.params)
 
         def loss_fn(params, x, key):
-            mu, logvar = self._encode(params, x)
-            eps = jax.random.normal(key, mu.shape)
+            k_eps, k_drop = jax.random.split(key)
+            mu, logvar = self._encode(params, x, self.dropout, k_drop)
+            eps = jax.random.normal(k_eps, mu.shape)
             z = mu + eps * jnp.exp(0.5 * logvar)
-            x_hat = self._decode(params, z)
+            x_hat = self._decode(params, z, self.dropout, k_drop)
             mse = jnp.sum((x_hat - x) ** 2)  # reduction='sum' (encoder.py:171)
             kld = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar))
             return mse + kld

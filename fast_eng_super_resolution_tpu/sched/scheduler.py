@@ -136,6 +136,46 @@ class PartitionScheduler:
     def _single_device(self) -> bool:
         return self.mesh is None or len(self.mesh.devices.ravel()) == 1
 
+    def _fused_mc_fn(self, infer_model, rows_blk: int, blk: int, per: int,
+                     n: int, interpret: bool):
+        """Cached jit of the multi-chip fused forward (one compile per block
+        geometry): shard_map over the 'data' axis — each device applies the
+        fused Pallas conv to its own merged group, outputs ride the same
+        axis back.  Reference analog: the mp.Process inference scatter
+        (scheduler_gnn.py:253-291), minus the host processes."""
+        key = (rows_blk, blk, per, n, interpret)
+        cache = getattr(self, "_fused_mc_jits", None)
+        if cache is None:
+            cache = self._fused_mc_jits = {}
+        fn = cache.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.train import _import_shard_map
+
+            shard_map, no_check_kw = _import_shard_map()
+            mesh = self.mesh
+
+            def local_fwd(params, x_st, ops):
+                out = infer_model.apply_fused(
+                    params, x_st[0], ops["edge_attr"][0], ops["sp"][0],
+                    ops["s"][0], rows_blk=rows_blk, blk=blk,
+                    interpret=interpret)
+                return out.reshape(1, per, n, -1)
+
+            def fwd(params, x_st, ops):
+                mapped = shard_map(
+                    local_fwd, mesh=mesh,
+                    in_specs=(
+                        jax.tree_util.tree_map(lambda _: P(), params),
+                        P("data"),
+                        jax.tree_util.tree_map(lambda _: P("data"), ops)),
+                    out_specs=P("data"), **{no_check_kw: False})
+                return mapped(params, x_st, ops)
+
+            fn = cache[key] = jax.jit(fwd)
+        return fn
+
     def _make_batches(self, raw_graphs: list[dict], batch_size: int,
                       spec: BucketSpec | None = None, merged: bool = False):
         """Uniform-bucket the subset once, then chunk into GraphBatches.
@@ -465,10 +505,66 @@ class PartitionScheduler:
                       or fused_env == "force")
                      and hasattr(infer_model, "apply_fused")
                      and getattr(infer_model, "fused_ok", True)
-                     and (self.mesh is None
-                          or self.mesh.devices.size == 1)
                      and fused_env != "0")
-        if use_fused:
+        n_mesh_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        if use_fused and n_mesh_dev > 1:
+            # multi-chip fused predict (round 3, VERDICT #3): per-device
+            # merged groups + per-device scatter blocks (the same host prep
+            # the multi-chip fused TRAIN step uses), forward via shard_map —
+            # each chip runs the fused Pallas kernel on its own shard, no
+            # collectives needed (inference is embarrassingly data-parallel).
+            interp = fused_env == "force" and jax.default_backend() not in (
+                "tpu", "axon")
+
+            def fused_expert(params, chunk):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.train import make_fused_shard_batches
+
+                b, n = chunk.x.shape[0], chunk.x.shape[1]
+                per = b // n_mesh_dev
+                send = np.asarray(chunk.senders)
+                recv = np.asarray(chunk.receivers)
+                ea = np.asarray(chunk.edge_attr)
+                em = np.asarray(chunk.edge_mask)
+                import hashlib
+
+                hsh = hashlib.blake2b(digest_size=16)
+                for a in (send, recv, ea, em):
+                    hsh.update(a.tobytes())
+                key = (hsh.hexdigest(), b, n, n_mesh_dev)
+                entry = self._fused_cache.get(key)
+                if entry is None:
+                    host_chunk = jax.tree_util.tree_map(np.asarray, chunk)
+                    batchd, rb, bk = make_fused_shard_batches(
+                        host_chunk, infer_model, n_mesh_dev)
+                    shd = NamedSharding(self.mesh, P("data"))
+                    ops = {
+                        "edge_attr": jax.device_put(
+                            batchd["fused"]["edge_attr"], shd),
+                        "sp": jax.device_put(
+                            batchd["fused"]["aux"]["senders_perm"], shd),
+                        "s": jax.device_put(batchd["fused"]["s"], shd),
+                    }
+                    nbytes = sum(int(a.size) * 4 for a in ops.values())
+                    budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES",
+                                                2 << 30))
+                    entry = ((ops, rb, bk), nbytes)
+                    if nbytes <= budget:
+                        self._fused_cache[key] = entry
+                        total = sum(v[1] for v in self._fused_cache.values())
+                        while total > budget:
+                            old_key = next(iter(self._fused_cache))
+                            total -= self._fused_cache.pop(old_key)[1]
+                ops, rb, bk = entry[0]
+                # node features re-merge per device group by pure reshape
+                # (merge_batch's block-diagonal layout, core/graph.py:169)
+                x_st = jnp.reshape(chunk.x, (n_mesh_dev, per * n, -1))
+                out = self._fused_mc_fn(infer_model, rb, bk, per, n, interp)(
+                    params, x_st, ops)
+                return jnp.reshape(out, (b, n, -1))
+
+        elif use_fused:
             interp = fused_env == "force" and jax.default_backend() not in (
                 "tpu", "axon")
             fused_jit = jax.jit(

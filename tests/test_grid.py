@@ -75,3 +75,62 @@ def test_advected_scalar_dataset(tmp_path):
     assert len(ds) == 4 and ds[0]["x"].shape == (32, 32, 1)
     ds2 = AdvectedScalarDataset(str(tmp_path))  # reload from cache
     np.testing.assert_array_equal(ds2[1]["y"], ds[1]["y"])
+
+
+def test_spectral_conv_matmul_parity():
+    """FFT-free matmul-DFT spectral conv == jnp.fft path (values + grads).
+
+    The matmul form is the TPU production path (models/fno.py docstring);
+    parity vs jnp.fft covers rfft2/irfft2 truncation semantics including the
+    overwrite-free row split and irfft's ignored DC/Nyquist imaginary parts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import (
+        _spectral_conv, _spectral_conv_matmul, _spectral_init)
+
+    key = jax.random.PRNGKey(0)
+    # (73,73) = advected grid + padding 9; (26,24) hits the even-W Nyquist col
+    for h, w, m1, m2 in [(73, 73, 12, 12), (26, 24, 13, 13)]:
+        p = _spectral_init(key, 4, 6, m1, m2)
+        x = jax.random.normal(jax.random.fold_in(key, h), (2, 4, h, w))
+        a = _spectral_conv(p, x, m1, m2)
+        b = _spectral_conv_matmul(p, x, m1, m2)
+        assert float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a)) < 1e-5
+
+        ga = jax.grad(lambda p, x: jnp.sum(_spectral_conv(p, x, m1, m2) ** 2),
+                      argnums=(0, 1))(p, x)
+        gb = jax.grad(lambda p, x: jnp.sum(_spectral_conv_matmul(p, x, m1, m2) ** 2),
+                      argnums=(0, 1))(p, x)
+        for ta, tb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            denom = float(jnp.linalg.norm(ta)) or 1.0
+            assert float(jnp.linalg.norm(ta - tb)) / denom < 1e-4
+
+
+def test_fno_model_impl_parity():
+    """Full FNO2d forward identical across spectral impls (same params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    m_fft = FNO2d(modes1=8, modes2=8, width=12, in_feats=2, spectral_impl="fft")
+    m_mm = FNO2d(modes1=8, modes2=8, width=12, in_feats=2, spectral_impl="matmul")
+    params = m_fft.init(jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 24, 2))
+    ya, yb = m_fft.apply(params, x), m_mm.apply(params, x)
+    assert float(jnp.linalg.norm(ya - yb) / jnp.linalg.norm(ya)) < 1e-5
+
+
+def test_spectral_matmul_too_small_raises():
+    import jax
+    import pytest as _pytest
+
+    from fast_eng_super_resolution_tpu.models.fno import (
+        _spectral_conv_matmul, _spectral_init)
+
+    p = _spectral_init(jax.random.PRNGKey(0), 2, 2, 12, 12)
+    x = jax.numpy.zeros((1, 2, 20, 24))  # H < 2*m1
+    with _pytest.raises(ValueError, match="too small"):
+        _spectral_conv_matmul(p, x, 12, 12)

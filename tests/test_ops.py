@@ -225,3 +225,48 @@ def test_training_loss_weight_floor(rng):
     model = KernelNN(width=8, ker_width=8, depth=2, in_width=4, out_width=4)
     params = model.init(jax.random.PRNGKey(0))
     assert float(batched_loss(model, params, batch)) >= 0.0
+
+
+def test_gradient_weight_custom_vjp_parity(rng):
+    """Custom-VJP gradient_weight_scalar == autograd path (value AND grads).
+
+    The custom backward (one-hot argmax channels + unsorted segment-sums,
+    ops/loss.py:_gw_scalar_bwd) replaces XLA's transpose-of-gather scatters;
+    it must be bit-compatible with the FESR_LOSS_VJP=xla reference path,
+    including clamp gates and both scatter_to directions.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.ops.loss import gradient_weight_scalar
+
+    n, e, c = 64, 256, 4
+    pred = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    ea = jnp.asarray((0.5 + rng.random((e, 1))).astype(np.float32))
+    em = jnp.asarray(rng.random(e) > 0.2)
+    nm = jnp.asarray(rng.random(n) > 0.1)
+
+    cases = [(em, nm, "receivers", 0.0), (None, None, "senders", None),
+             (em, None, "receivers", None), (None, nm, "senders", 0.0)]
+    for em_, nm_, to, mw in cases:
+        def f(p, t, impl):
+            os.environ["FESR_LOSS_VJP"] = impl
+            try:
+                return gradient_weight_scalar(p, t, s, r, ea, em_, nm_,
+                                              1.0, to, mw)
+            finally:
+                os.environ.pop("FESR_LOSS_VJP", None)
+
+        va = f(pred, tgt, "xla")
+        vb = f(pred, tgt, "custom")
+        assert abs(float(va) - float(vb)) <= 1e-4 * max(abs(float(va)), 1.0)
+        ga = jax.grad(lambda p, t: f(p, t, "xla"), argnums=(0, 1))(pred, tgt)
+        gb = jax.grad(lambda p, t: f(p, t, "custom"), argnums=(0, 1))(pred, tgt)
+        for ta, tb in zip(ga, gb):
+            denom = max(float(jnp.linalg.norm(ta)), 1e-12)
+            assert float(jnp.linalg.norm(ta - tb)) / denom < 1e-5

@@ -393,3 +393,28 @@ def test_fused_predict_block_cache(synth, tmp_path_factory, monkeypatch):
     assert len(calls) == n_first, "blocks rebuilt on repeated predict"
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multichip_fused_predict_matches_xla(trained, synth, monkeypatch):
+    """Fused predict on a multi-device mesh (round 3, VERDICT #3): per-device
+    merged groups + shard_map forward (Pallas interpret on CPU) must match
+    the multi-device stacked-XLA path; the devices.size==1 gate is gone."""
+    import jax
+
+    sched, model, _ = trained
+    assert len(jax.devices()) == 8 and not sched._single_device()
+    x = synth.get_one_full_sample(0)
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "0")
+    p_xla, r_xla, _, w_xla = sched.predict(x)
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    p_f, r_f, _, w_f = sched.predict(x)
+    # second call hits the fused-operand cache (serving steady state)
+    p_f2, _, _, _ = sched.predict(x)
+
+    for a, b in zip(r_xla, r_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b, c in zip(p_xla, p_f, p_f2):
+        a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-2
+        np.testing.assert_array_equal(b, c)
