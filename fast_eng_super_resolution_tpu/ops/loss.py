@@ -119,11 +119,15 @@ def gradient_weight_scalar(
     """
     n = pred.shape[0]
     idx = receivers if scatter_to == "receivers" else senders
-    if os.environ.get("FESR_LOSS_VJP", "custom") == "custom":
-        # custom-VJP path: the weight depends on pred/target only through
-        # their difference, so one hand-written backward (segment-sum over
-        # one-hot argmax channels) serves both — ~2x cheaper than XLA's
-        # transpose-of-gather scatters (round-3 measurement in bench.py).
+    if os.environ.get("FESR_LOSS_VJP", "xla") == "custom":
+        # custom-VJP path — MEASURED DEAD END on v5e (round 3), kept for the
+        # record + parity coverage: the hand-written backward (one pathway for
+        # pred AND target since the weight depends only on their difference;
+        # one-hot argmax channels + segment-sums) is bit-exact but SLOWER
+        # than XLA autograd at bench scale (E=296k: 17.8 ms vs 13.6 ms
+        # fwd+bwd; sorted-receivers 17.4, flat-scalar-scatter 17.1) — XLA
+        # fuses the gather transposes with the max backward into one scatter
+        # loop the manual segment-sum formulation can't beat.
         dt = pred.dtype
         masks = {
             "edge": (jnp.ones(senders.shape, dt) if edge_mask is None

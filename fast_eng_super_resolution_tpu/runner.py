@@ -36,41 +36,55 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
     outputs = []
     for idx in idxs:
         x = dataset.get_one_full_sample(idx)
+        full = dataset.full_mesh(idx)
+        num_nodes = len(full["points"])
 
+        # serving fast path (round 3): fused predict + device-side
+        # segment-mean reconstruction in ONE dispatch (scheduler.predict_full)
+        # — falls back to the general predict + host overlap_average when its
+        # preconditions don't hold (routed, multi-device, missing global ids,
+        # per-subdomain field norm, over edge budget)
+        fast = None
         with span("Prediction"):
-            pred_y_list, ref_y_list, model_idx, weights_list = scheduler.predict(x)
+            fast = scheduler.predict_full(x, num_nodes)
+            if fast is None:
+                pred_y_list, ref_y_list, model_idx, weights_list = \
+                    scheduler.predict(x)
 
-        if x and x[0].get("field_scale") is not None:
-            # per_subdomain_field_norm: model I/O is amplitude-normalized per
-            # subdomain (data/dataset.py:_read_subdomain); re-scale to
-            # physical units before stitching so reconstruction and the
-            # improvement metric stay comparable with un-normalized runs.
-            # Known limitation: weights_list stays in normalized units — it
-            # is unused downstream (same as the reference, which computes but
-            # never consumes it; SURVEY §3.2 drift note), so only a consumer
-            # added later would need the per-subdomain rescale
-            pred_y_list = [np.asarray(p) * d["field_scale"]
-                           for p, d in zip(pred_y_list, x)]
-            ref_y_list = [np.asarray(r) * d["field_scale"]
-                          for r, d in zip(ref_y_list, x)]
+        if fast is not None:
+            with span("Reconstruction"):  # already stitched on device
+                pred, ref = fast
+        else:
+            if x and x[0].get("field_scale") is not None:
+                # per_subdomain_field_norm: model I/O is amplitude-normalized
+                # per subdomain (data/dataset.py:_read_subdomain); re-scale to
+                # physical units before stitching so reconstruction and the
+                # improvement metric stay comparable with un-normalized runs.
+                # Known limitation: weights_list stays in normalized units —
+                # it is unused downstream (same as the reference, which
+                # computes but never consumes it; SURVEY §3.2 drift note), so
+                # only a consumer added later would need the rescale
+                pred_y_list = [np.asarray(p) * d["field_scale"]
+                               for p, d in zip(pred_y_list, x)]
+                ref_y_list = [np.asarray(r) * d["field_scale"]
+                              for r, d in zip(ref_y_list, x)]
 
-        with span("Reconstruction"):
-            full = dataset.full_mesh(idx)
-            num_nodes = len(full["points"])
-            gids = [d.get("global_node_ids") for d in x]
-            if any(g is None for g in gids):
-                # reference-produced duct partition caches carry no global ids
-                # (GraphDataset.py:615-620); recover them by coordinate match —
-                # the exact identity the reference rediscovers with a radius
-                # locator at merge time (:1371-1400)
-                from scipy.spatial import cKDTree
+            with span("Reconstruction"):
+                gids = [d.get("global_node_ids") for d in x]
+                if any(g is None for g in gids):
+                    # reference-produced duct partition caches carry no global
+                    # ids (GraphDataset.py:615-620); recover them by coordinate
+                    # match — the exact identity the reference rediscovers with
+                    # a radius locator at merge time (:1371-1400)
+                    from scipy.spatial import cKDTree
 
-                tree = cKDTree(full["points"])
-                gids = [g if g is not None else
-                        tree.query(d["pos"], workers=-1)[1].astype(np.int64)
-                        for g, d in zip(gids, x)]
-            pred = overlap_average(pred_y_list, gids, num_nodes)
-            ref = overlap_average([np.asarray(r) for r in ref_y_list], gids, num_nodes)
+                    tree = cKDTree(full["points"])
+                    gids = [g if g is not None else
+                            tree.query(d["pos"], workers=-1)[1].astype(np.int64)
+                            for g, d in zip(gids, x)]
+                pred = overlap_average(pred_y_list, gids, num_nodes)
+                ref = overlap_average([np.asarray(r) for r in ref_y_list],
+                                      gids, num_nodes)
 
         if smooth:
             from .data.tensorize import cells_to_edges

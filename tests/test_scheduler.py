@@ -418,3 +418,94 @@ def test_multichip_fused_predict_matches_xla(trained, synth, monkeypatch):
         a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
         assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-2
         np.testing.assert_array_equal(b, c)
+
+
+def test_predict_full_single_dispatch_parity(synth, tmp_path_factory,
+                                             monkeypatch):
+    """Serving fast path: predict_full (fused predict + device segment-mean
+    reconstruction in one program) == predict + host overlap_average."""
+    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_pf"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("pf_cpu", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=1, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    x = synth.get_one_full_sample(0)
+    full = synth.full_mesh(0)
+    n = len(full["points"])
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    fast = sched.predict_full(x, n)
+    assert fast is not None
+    pred_fast, ref_fast = fast
+    # second call hits the serve cache and must be identical
+    pred_fast2, _ = sched.predict_full(x, n)
+    np.testing.assert_array_equal(pred_fast, pred_fast2)
+
+    p_list, r_list, _, _ = sched.predict(x)
+    gids = [d["global_node_ids"] for d in x]
+    pred_ref = overlap_average([np.asarray(p) for p in p_list], gids, n)
+    ref_ref = overlap_average([np.asarray(r) for r in r_list], gids, n)
+    assert np.abs(pred_fast - pred_ref).max() / (np.abs(pred_ref).max() + 1e-9) < 1e-5
+    assert np.abs(ref_fast - ref_ref).max() / (np.abs(ref_ref).max() + 1e-9) < 1e-5
+
+    # preconditions: field norm or missing gids fall back to None
+    x_nogid = [dict(d, global_node_ids=None) for d in x]
+    assert sched.predict_full(x_nogid, n) is None
+
+
+def test_hetero_batches_cut_padding_on_skew(synth, tmp_path_factory):
+    """hetero_batches: size-sorted per-batch padding on a 5x-skewed workload
+    wastes >=1.5x fewer padded node-slots than global uniform padding, and
+    training runs end-to-end with the mixed shapes (per-batch stepping)."""
+    import jax
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    rng = np.random.default_rng(0)
+
+    def make_graph(n):
+        e = 4 * n
+        return dict(x=rng.normal(size=(n, 4)).astype(np.float32),
+                    y=rng.normal(size=(n, 4)).astype(np.float32),
+                    pos=rng.normal(size=(n, 3)).astype(np.float32),
+                    senders=rng.integers(0, n, e).astype(np.int32),
+                    receivers=np.sort(rng.integers(0, n, e)).astype(np.int32),
+                    edge_attr=(0.5 + rng.random((e, 1))).astype(np.float32),
+                    global_ids=np.arange(n, dtype=np.int64))
+
+    # 5x node-count skew: 12 small + 4 large (METIS overlap partitions skew)
+    raw = [make_graph(300) for _ in range(12)] + [make_graph(1500) for _ in range(4)]
+    shell = PartitionScheduler.__new__(PartitionScheduler)
+
+    def padded_slots(batches):
+        total = 0
+        for _, b in batches:
+            leaf = b.x  # merged: [N_merged, C]; batched: [B, N, C]
+            total += int(np.prod(leaf.shape[:-1]))
+        return total
+
+    uni = shell._make_batches(raw, 4, merged=True, hetero=False)
+    het = shell._make_batches(raw, 4, merged=True, hetero=True)
+    waste_ratio = padded_slots(uni) / padded_slots(het)
+    assert waste_ratio >= 1.5, waste_ratio
+    # every real graph appears exactly once
+    assert sorted(i for idxs, _ in het for i in idxs) == list(range(16))
+
+    # end-to-end: scheduler training with hetero_batches on the synth set
+    log_dir = str(tmp_path_factory.mktemp("logs_het"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("het_e2e", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=2, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1, hetero_batches=True)
+    sched.train(config)
+    import glob, json
+    mfile = glob.glob(os.path.join(log_dir, "metrics", "*het_e2e*.jsonl"))[0]
+    rows = [json.loads(l) for l in open(mfile)]
+    assert any(np.isfinite(r.get("train_loss", np.nan)) for r in rows)
