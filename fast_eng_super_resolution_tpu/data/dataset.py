@@ -434,8 +434,13 @@ class SyntheticDataset(AnsysDataset):
         # obstacle=True: each case gets an immersed-cylinder blockage with
         # randomized center/radius (synthetic.obstacle_deflect) — cross-flow
         # deflection + Bernoulli pressure structure the aspect/bend variants
-        # lack
-        self._obstacle = bool(kwargs.pop("obstacle", False))
+        # lack.  An int k > 1 places k obstacles per case in disjoint axial
+        # segments (deflections composed sequentially — the downstream body
+        # sees the upstream body's wake field); k == 1 / True keeps the
+        # round-2 RNG sequence so existing caches rebuild bit-identically.
+        _obs = kwargs.pop("obstacle", False)
+        self._n_obstacles = int(_obs) if not isinstance(_obs, bool) else int(_obs)
+        self._obstacle = self._n_obstacles > 0
         # vary_resolution=True: each case scales n_high by 0.75-1.5x (n_low
         # keeps the 2x ratio) so training spans mesh densities — the remedy
         # for cross-resolution transfer (BASELINE.md "honest limitation")
@@ -493,18 +498,30 @@ class SyntheticDataset(AnsysDataset):
             # straight duct — the series solution lives in straight
             # coordinates; velocity rotates with the local frame
             # (synthetic.py:bend_duct)
-            obs = None
+            obs_list = []
             if self._obstacle:
-                # one obstacle per case, identical for high/low meshes (it is
-                # part of the geometry, like the bend angle)
-                obs = (float(obs_rng.uniform(0.5, 1.5)),          # center x
-                       float(obs_rng.uniform(0.35, 0.65) * ly),   # center y
-                       float(obs_rng.uniform(0.12, 0.22) * ly))   # radius
+                # obstacles are part of the geometry (like the bend angle):
+                # identical for high/low meshes.  k == 1 keeps the round-2
+                # draw ranges/order exactly; k > 1 confines each body to its
+                # own axial segment of the duct (x in [0.3, 1.7])
+                k = self._n_obstacles
+                for j in range(k):
+                    if k == 1:
+                        x_lo, x_hi = 0.5, 1.5
+                    else:
+                        seg = 1.4 / k
+                        x_lo = 0.3 + seg * (j + 0.15)
+                        x_hi = 0.3 + seg * (j + 0.85)
+                    obs_list.append(
+                        (float(obs_rng.uniform(x_lo, x_hi)),          # center x
+                         float(obs_rng.uniform(0.35, 0.65) * ly),     # center y
+                         float(obs_rng.uniform(0.12, 0.22) * ly
+                               / max(1, (k + 1) // 2))))              # radius
             fields = {}
             for key, mesh in (("high", high), ("low", low)):
                 v, p = duct_field(mesh.points, ly=ly)
                 pts = mesh.points
-                if obs is not None:
+                for obs in obs_list:
                     v, p = obstacle_deflect(pts, v, p, *obs)
                 if bend:
                     pts, v = bend_duct(pts, v, lx=2.0, bend_deg=bend)

@@ -249,3 +249,24 @@ def test_synthetic_vary_resolution(tmp_path):
     for i in range(4):
         subs = ds.get_one_full_sample(i)
         assert all(np.isfinite(s["x"]).all() for s in subs)
+
+
+def test_multi_obstacle_cases(tmp_path):
+    """obstacle=2: two disjoint immersed cylinders per case, composed
+    sequentially; single-obstacle (True) keeps the round-2 draw ranges."""
+    import numpy as np
+
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+
+    ds2 = SyntheticDataset(root=str(tmp_path / "m2"), partition=True,
+                           sub_size=4, n_high=(10, 5, 5), n_low=(6, 3, 3),
+                           num_cases=2, obstacle=2)
+    ds1 = SyntheticDataset(root=str(tmp_path / "m1"), partition=True,
+                           sub_size=4, n_high=(10, 5, 5), n_low=(6, 3, 3),
+                           num_cases=2, obstacle=True)
+    f2 = ds2.full_mesh(0)
+    f1 = ds1.full_mesh(0)
+    # both produce finite fields; the two-obstacle field differs from the
+    # one-obstacle field (second blockage changes the flow)
+    assert np.isfinite(f2["x"]).all() and np.isfinite(f1["x"]).all()
+    assert not np.allclose(f2["x"], f1["x"])
