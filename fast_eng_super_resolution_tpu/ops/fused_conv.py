@@ -411,34 +411,67 @@ def _fused_edge_conv_bwd_jit(g: jnp.ndarray, h_blocked: jnp.ndarray,
             a, b, (((ca,), (cb,)), ((), ())), precision=prec,
             preferred_element_type=jnp.float32)
 
+    # bf16 fast path (production combo): keep the [sub, c2] products AND the
+    # operands of every big dot in bf16 — removes the f32->bf16 cast passes
+    # (each a full VPU sweep of the tile) and halves product traffic.
+    # Measured v5e: 7.16 vs 7.41 ms/layer at 279 blocks (isolated; neutral
+    # end-to-end — the step is bounded elsewhere).  f32 mode keeps the
+    # all-f32 products for parity.
+    #
+    # Round-3 bwd dead ends, all measured at 279-block bench scale: sub
+    # 256 vs 512 flat (7.41/7.45 ms); rows_blk=128+blk=2048 VMEM-OOMs at
+    # sub=512 (17.9M vs the 16M scoped limit) and is EXACTLY flat at sub=256
+    # (7.41 ms).  Invariance to block count, tile size, dot count, and
+    # product dtype means the bwd is bound by total [slots, c2] VPU/DMA
+    # traffic — inherent to the per-edge-matrix operator (c_in*c_out lanes
+    # per edge is the model's math); further speedups need an algorithmic
+    # change (e.g. low-rank edge kernels), not scheduling.
+    bf16_prod = dt == jnp.bfloat16
+    b3d = b3f.astype(dt) if bf16_prod else b3f
+
     def kernel(g_ref, h_ref, x_ref, w3_ref, b3_ref, p_ref, t_ref, s_ref,
                dh_ref, dx_ref, dw3_ref, db3_ref):
         dw3_acc = jnp.zeros((k, c2), jnp.float32)
-        db3_acc = jnp.zeros((1, c2), jnp.float32)
-        gq = g_ref[:]
+        # db3[(i,o)] = sum_e x[e,i] * dmsg[e,o] (dw summed over edges with
+        # dprod=tile(dmsg), xe=expand(x)): ONE tiny [c_in, c_out] dot per
+        # tile instead of a full [sub, c2] VPU reduction pass; flattened
+        # row-major outside == the (i*c_out+o) layout
+        db3_acc = jnp.zeros((max(c_in, 8), c_out), jnp.float32)
+        gq = g_ref[:].astype(dt) if bf16_prod else g_ref[:]
         for ti in range(n_sub):
             sl = slice(ti * sub, (ti + 1) * sub)
             # dmsg = S_slice^T @ g  (contract the rows axis, no transpose op)
-            dmsg = dotg(s_ref[:, sl], gq, 0, 0)           # [sub, c_out]
+            dmsg = dotg(s_ref[:, sl].astype(dt) if bf16_prod else s_ref[:, sl],
+                        gq, 0, 0)                          # [sub, c_out] f32
+            dmsg_d = dmsg.astype(dt) if bf16_prod else dmsg
             if xe_impl == "repeat":
                 # dprod[e, i*c_out+o] = dmsg[e, o]: a lane TILE of dmsg —
                 # tpu.repeat replaces the t-matrix GEMM (round-3 lane-repeat
                 # design, same trick as the forward's xe expansion)
-                dprod = pltpu.repeat(dmsg, c_in, axis=1)   # [sub, c2]
+                dprod = pltpu.repeat(dmsg_d, c_in, axis=1)  # [sub, c2]
             else:
-                dprod = dotg(dmsg.astype(dt), t_ref[:], 1, 0)  # [sub, c2]
-            w = dotg(h_ref[sl, :], w3_ref[:], 1, 0) + b3_ref[:]
-            xe = dotg(x_ref[sl, :], p_ref[:], 1, 0)
-            dw = dprod * xe
+                dprod = dotg(dmsg_d, t_ref[:], 1, 0)        # [sub, c2] f32
+            if bf16_prod:
+                # Mosaic requires 32-bit matmul accumulators, so the dots
+                # stay f32-out; the casts move the [sub, c2] products (and
+                # the downstream dot operands) to bf16
+                w = dotg(h_ref[sl, :], w3_ref[:], 1, 0).astype(dt) + b3_ref[:]
+                xe = dotg(x_ref[sl, :], p_ref[:], 1, 0).astype(dt)
+            else:
+                w = dotg(h_ref[sl, :], w3_ref[:], 1, 0) + b3_ref[:]
+                xe = dotg(x_ref[sl, :], p_ref[:], 1, 0)
+            dw = dprod * xe          # bf16 in the fast path, f32 in parity
             dxe = dprod * w
             dh_ref[sl, :] = dotg(dw.astype(dt), w3_ref[:], 1, 1)
             dx_ref[sl, :] = dotg(dxe.astype(dt), p_ref[:], 1, 1)
             dw3_acc = dw3_acc + dotg(h_ref[sl, :], dw.astype(dt), 0, 0)
-            db3_acc = db3_acc + jnp.sum(dw, axis=0, keepdims=True)
+            db3_tile = dotg(x_ref[sl, :], dmsg_d, 0, 0)    # [c_in, c_out]
+            if c_in < 8:  # Mosaic sublane minimum: zero-pad the rows
+                db3_tile = jnp.concatenate(
+                    [db3_tile, jnp.zeros((8 - c_in, c_out), jnp.float32)], 0)
+            db3_acc = db3_acc + db3_tile
         dw3_ref[:] = dw3_acc
-        # Mosaic requires >=8 sublanes per output block: replicate the [1, c2]
-        # accumulator across 8 rows; the XLA-side sum divides by 8
-        db3_ref[:] = jnp.broadcast_to(db3_acc, (8, c2))
+        db3_ref[:] = db3_acc
 
     dh, dx_src_g, dw3_parts, db3_parts = pl.pallas_call(
         kernel,
@@ -463,13 +496,15 @@ def _fused_edge_conv_bwd_jit(g: jnp.ndarray, h_blocked: jnp.ndarray,
             pl.BlockSpec((blk, c_in), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c_in, 8), c_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_blocks * blk, k), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks * blk, c_in), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks * k, c2), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * 8, c2), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * max(c_in, 8), c_out),
+                                 jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=num_blocks * blk * (8 * (k + c_in) * c2 // 2),
@@ -477,10 +512,12 @@ def _fused_edge_conv_bwd_jit(g: jnp.ndarray, h_blocked: jnp.ndarray,
             + 4 * s_matrix.size,
             transcendentals=0),
         interpret=interpret,
-    )(g, h_blocked, x_src, w3d, b3f, p, t_mat, s_matrix)
+    )(g, h_blocked, x_src, w3d, b3d, p, t_mat, s_matrix)
 
     dw3 = jnp.sum(dw3_parts.reshape(num_blocks, k, c2), axis=0)
-    db3 = jnp.sum(db3_parts, axis=0) / 8.0  # rows are 8x-replicated
+    # db3 parts are [c_in, c_out] blocks; row-major flatten == (i*c_out+o)
+    db3 = jnp.sum(db3_parts.reshape(num_blocks, max(c_in, 8), c_out),
+                  axis=0)[:c_in].reshape(c2)
     return dh, dx_src_g, dw3, db3
 
 

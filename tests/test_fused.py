@@ -273,3 +273,48 @@ def test_teecnet_powerseries_not_fused():
     m = TEECNet(in_channels=4, width=8, out_channels=4,
                 kernel_type="powerseries")
     assert not m.fused_ok
+
+
+def test_bwd_kernel_matches_dense_reference_small_cin():
+    """fused_edge_conv_bwd == autograd of the dense math, for BOTH xe impls,
+    at c_in < 8 (exercises the db3 sublane zero-pad) and c_in != c_out."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.ops import fused_conv as fc
+
+    rng = np.random.default_rng(0)
+    C_IN, C_OUT, K, RB, BLK, SUB, NB = 4, 6, 4, 8, 256, 128, 2
+    C2 = C_IN * C_OUT
+    slots, n = NB * BLK, NB * RB
+    h = jnp.asarray(rng.normal(size=(slots, K)).astype(np.float32) * .3)
+    x = jnp.asarray(rng.normal(size=(n, C_IN)).astype(np.float32))
+    sp = jnp.asarray(rng.integers(0, n, slots).astype(np.int32))
+    w3 = jnp.asarray(rng.normal(size=(K, C2)).astype(np.float32) * .2)
+    b3 = jnp.asarray(rng.normal(size=(C2,)).astype(np.float32) * .1)
+    s_np = np.zeros((n, BLK), np.float32)
+    s_np[np.arange(n), rng.integers(0, BLK, n)] = 1.
+    s = jnp.asarray(s_np)
+    g = jnp.asarray(rng.normal(size=(n, C_OUT)).astype(np.float32))
+    S_big = np.zeros((n, slots), np.float32)
+    for r in range(n):
+        b = r // RB
+        S_big[r, b * BLK:(b + 1) * BLK] = s_np[r]
+    S_big = jnp.asarray(S_big)
+
+    def loss(w3_, b3_, x_, h_):
+        W = (h_ @ w3_ + b3_).reshape(slots, C_IN, C_OUT)
+        msg = jnp.sum(W * x_[sp][:, :, None], axis=1)
+        return jnp.sum((S_big @ msg) * g)
+
+    ref = jax.grad(loss, argnums=(0, 1, 2, 3))(w3, b3, x, h)
+    kw = dict(c_in=C_IN, c_out=C_OUT, rows_blk=RB, blk=BLK, sub=SUB,
+              gemm_dtype="float32", interpret=True)
+    for impl in ("gemm", "repeat"):
+        dh, dxs, dw3, db3 = fc.fused_edge_conv_bwd(g, h, x[sp], w3, b3, s,
+                                                   xe_impl=impl, **kw)
+        dx = jax.ops.segment_sum(dxs, sp, num_segments=n)
+        for a, b in [(ref[0], dw3), (ref[1], db3), (ref[2], dx), (ref[3], dh)]:
+            rel = float(jnp.linalg.norm(a - b)
+                        / (float(jnp.linalg.norm(a)) or 1.0))
+            assert rel < 1e-5, (impl, rel)
