@@ -1,0 +1,80 @@
+"""Serving latency benchmark: warm per-mesh p50 through both predict paths.
+
+Measures the steady-state request latency a serving deployment sees —
+repeated predictions on the same (small) mesh with a warm PartitionScheduler
+— for (a) the one-dispatch fast path (``scheduler.predict_full``: fused conv
++ reference stitching + segment-mean reconstruction in a single device
+program) and (b) the general path (``scheduler.predict`` + host
+``overlap_average``), which pays one tunnel round-trip per dispatch.
+
+Round-3 measurement on the v5e relay (432-node mesh, 4 subdomains, w=48 d=4):
+fast path p50 290 ms vs general 2,839 ms; the round-2 serving floor was
+~1.0 s/mesh (BASELINE.md serving row).
+
+Run:  python benchmarks/serving.py [--requests 10] [--width 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = (os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals()
+         else os.getcwd())
+sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("benchmarks") else _HERE)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--requests", type=int, default=10)
+    parser.add_argument("--width", type=int, default=48)
+    parser.add_argument("--depth", type=int, default=4)
+    parser.add_argument("--root", default="/tmp/fesr_serving_data")
+    parser.add_argument("--epochs", type=int, default=2,
+                        help="latency does not need a converged model")
+    args = parser.parse_args()
+
+    from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    ds = SyntheticDataset(root=args.root, partition=True, sub_size=4,
+                          n_high=(12, 6, 6), n_low=(8, 4, 4), num_cases=2)
+    model = KernelNN(width=args.width, ker_width=args.width, depth=args.depth,
+                     ker_in=1, in_width=4, out_width=4)
+    cfg = dict(epochs=args.epochs, batch_size=16, lr=1e-3, step_size=30,
+               gamma=0.1, log_interval=10, val_interval=1)
+    sched = PartitionScheduler("serving_bench", 1, ds, model, train=True,
+                               log_dir="/tmp/fesr_serving_logs")
+    sched.train(cfg)
+    x = ds.get_one_full_sample(0)
+    full = ds.full_mesh(0)
+    n = len(full["points"])
+    print(f"mesh nodes: {n}  subdomains: {len(x)}", flush=True)
+
+    fast = sched.predict_full(x, n)
+    if fast is None:
+        print("fast path unavailable (preconditions) — general only")
+    sched.predict(x)  # warm the general path too
+
+    paths = [("general", lambda: sched.predict(x))]
+    if fast is not None:
+        paths.insert(0, ("predict_full", lambda: sched.predict_full(x, n)))
+    for name, fn in paths:
+        ts = sorted(_time(fn) for _ in range(args.requests))
+        print(f"{name}: p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
+              f"min {ts[0] * 1e3:.0f} ms", flush=True)
+
+
+def _time(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
