@@ -46,6 +46,8 @@ def main():
     parser.add_argument("--depth", type=int, default=4)
     parser.add_argument("--epochs", type=int, default=300)
     parser.add_argument("--root", default=None)
+    parser.add_argument("--kernel-rank", type=int, default=None,
+                        help="factorized rank-r edge kernels (beyond-parity)")
     args = parser.parse_args()
 
     from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
@@ -63,13 +65,15 @@ def main():
                           domain_size=0.03, num_cases=n_cases, aspect_seed=5,
                           **AXES[args.axis])
     model = KernelNN(width=args.width, ker_width=args.width, depth=args.depth,
-                     ker_in=1, in_width=4, out_width=4)
+                     ker_in=1, in_width=4, out_width=4,
+                     kernel_rank=args.kernel_rank)
     flat = np.concatenate([ds.mesh_subdomain_indices(m)
                            for m in range(args.train_cases)])
     t0 = time.time()
-    sched = PartitionScheduler(f"quality_{args.axis}", 1,
+    tag = f"quality_{args.axis}" + (f"_r{args.kernel_rank}" if args.kernel_rank else "")
+    sched = PartitionScheduler(tag, 1,
                                SubGraphDataset(ds, flat), model, train=True,
-                               log_dir=f"/tmp/fesr_quality_{args.axis}_logs")
+                               log_dir=f"/tmp/fesr_{tag}_logs")
     sched.train(cfg, seed=0)
     print(f"train wall {time.time() - t0:.0f}s", flush=True)
 

@@ -43,14 +43,26 @@ class KernelNN:
     lut_knots: int = 512  # table size for mode='lut' (tabulated edge kernel)
     edges_sorted: bool = False  # promise receiver-sorted edges (pad_graph
     # emits them sorted) -> faster TPU scatter lowering
+    kernel_rank: int | None = None  # factorized per-edge kernel W_e = U_e V_e^T
+    # (U_e [w, r], V_e [w, r]) — a BEYOND-PARITY extension: the fused-kernel
+    # roofline is total [E, w^2] lane traffic (ops/fused_conv.py bwd notes),
+    # inherent to full-rank per-edge matrices; rank r cuts per-edge state and
+    # flops from w^2 to 2*r*w (3x at w=48, r=8).  Opt-in; no reference analog
+    # (NNConv is full-rank, model.py:521-536); disables the fused Pallas path.
+
+    @property
+    def fused_ok(self) -> bool:
+        return self.kernel_rank is None
 
     def init(self, key) -> dict:
         w = self.width
         ks = jax.random.split(key, 5)
+        ker_out = (w * w if self.kernel_rank is None
+                   else 2 * self.kernel_rank * w)
         return {
             "fc1": linear_init(ks[0], self.in_width, w),
             "conv": {
-                "edge_mlp": mlp_init(ks[1], [self.ker_in, self.ker_width, self.ker_width, w * w]),
+                "edge_mlp": mlp_init(ks[1], [self.ker_in, self.ker_width, self.ker_width, ker_out]),
                 "root": pyg_uniform_init(ks[2], w, (w, w)),
                 "bias": pyg_uniform_init(ks[3], w, (w,)),
             },
@@ -65,6 +77,9 @@ class KernelNN:
 
         conv = params["conv"]
         h = linear(params["fc1"], x)
+        if self.kernel_rank is not None:
+            return self._apply_lowrank(params, h, senders, receivers,
+                                       edge_attr, edge_mask)
         # conv weights are shared across depth (model.py:558-559), so the
         # per-edge kernel matrices are loop-invariant: compute once, not
         # depth times (cuts the dominant GEMM and its HBM writes by 5x)
@@ -85,6 +100,49 @@ class KernelNN:
                 edges_sorted=self.edges_sorted,
             )
             return jax.nn.relu(h), None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        h, _ = jax.lax.scan(body, h, None, length=self.depth)
+        return linear(params["fc2"], h)
+
+    def _apply_lowrank(self, params: dict, h: jnp.ndarray,
+                       senders: jnp.ndarray, receivers: jnp.ndarray,
+                       edge_attr: jnp.ndarray,
+                       edge_mask: jnp.ndarray | None) -> jnp.ndarray:
+        """Rank-r conv: msg_e = (h[s_e] @ U_e) @ V_e^T, scatter-mean.
+
+        U/V come from ONE loop-invariant edge-MLP pass ([E, 2rw] — 3x
+        smaller than the full-rank [E, w^2] at w=48, r=8); the per-layer
+        work is two 3D einsums (edge3d-style, compiles everywhere the
+        edge3d mode does) + the usual segment-mean.
+        """
+        from ..ops.message_passing import apply_edge_mlp_hidden
+        from ..ops.segment import masked_segment_mean, segment_degree
+
+        conv = params["conv"]
+        w, r = self.width, self.kernel_rank
+        kdtype = jnp.dtype(self.kernel_dtype) if self.kernel_dtype else None
+        hid = apply_edge_mlp_hidden(conv["edge_mlp"], edge_attr, jax.nn.relu)
+        last = conv["edge_mlp"][-1]
+        uv = hid @ last["w"] + last["b"]                          # [E, 2rw]
+        if kdtype is not None:
+            uv = uv.astype(kdtype)
+        e = uv.shape[0]
+        u = uv[:, : w * r].reshape(e, w, r)
+        v = uv[:, w * r:].reshape(e, w, r)
+        deg = segment_degree(receivers, h.shape[0], edge_mask)
+
+        def body(h, _):
+            hs = h[senders]
+            if kdtype is not None:
+                hs = hs.astype(kdtype)
+            t = jnp.einsum("ei,eir->er", hs, u)
+            msg = jnp.einsum("er,eor->eo", t, v).astype(h.dtype)
+            agg = masked_segment_mean(msg, receivers, h.shape[0], edge_mask,
+                                      count=deg,
+                                      indices_are_sorted=self.edges_sorted)
+            return jax.nn.relu(agg + h @ conv["root"] + conv["bias"]), None
 
         if self.remat:
             body = jax.checkpoint(body)

@@ -70,6 +70,9 @@ def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
             ker_in=1,
             in_width=in_channels,
             out_width=out_channels,
+            # beyond-parity opt-in: factorized rank-r edge kernels (exp
+            # config key `kernel_rank`; see models/kernelnn.py)
+            kernel_rank=kwargs.get("kernel_rank"),
         )
     else:
         raise ValueError(f"Invalid model type: {type}")

@@ -509,3 +509,25 @@ def test_hetero_batches_cut_padding_on_skew(synth, tmp_path_factory):
     mfile = glob.glob(os.path.join(log_dir, "metrics", "*het_e2e*.jsonl"))[0]
     rows = [json.loads(l) for l in open(mfile)]
     assert any(np.isfinite(r.get("train_loss", np.nan)) for r in rows)
+
+
+def test_lowrank_kernel_trains_and_predicts(synth, tmp_path_factory):
+    """kernel_rank=r (beyond-parity factorized edge kernels): trains through
+    the scheduler (fused path correctly disabled via fused_ok) and predicts
+    finite fields end-to-end."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    model = KernelNN(width=12, ker_width=6, depth=2, in_width=4, out_width=4,
+                     kernel_rank=3)
+    assert not model.fused_ok
+    log_dir = str(tmp_path_factory.mktemp("logs_lr"))
+    sched = PartitionScheduler("lowrank", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=2, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    x = synth.get_one_full_sample(0)
+    preds, refs, _, _ = sched.predict(x)
+    for p in preds:
+        assert np.isfinite(np.asarray(p)).all()
