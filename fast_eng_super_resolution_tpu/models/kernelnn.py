@@ -52,6 +52,12 @@ class KernelNN:
 
     @property
     def fused_ok(self) -> bool:
+        # inference: both full-rank and rank-r have fused Pallas kernels
+        return True
+
+    @property
+    def fused_train_ok(self) -> bool:
+        # training: the rank-r kernel has no custom VJP yet — XLA path
         return self.kernel_rank is None
 
     def init(self, key) -> dict:
@@ -165,7 +171,7 @@ class KernelNN:
         TPU default-precision (~3e-3 vs f64); pass gemm_dtype='float32' for
         full-precision parity (slower: 6-pass MXU).
         """
-        from ..ops.fused_conv import fused_edge_conv
+        from ..ops.fused_conv import fused_edge_conv, fused_edge_conv_lowrank
         from ..ops.message_passing import apply_edge_mlp_hidden
 
         conv = params["conv"]
@@ -176,10 +182,18 @@ class KernelNN:
                                     jax.nn.relu)
         w3, b3 = conv["edge_mlp"][-1]["w"], conv["edge_mlp"][-1]["b"]
         for _ in range(self.depth):
-            agg = fused_edge_conv(h_e, h, senders_perm, w3, b3, s_matrix,
-                                  c_in=self.width, c_out=self.width,
-                                  rows_blk=rows_blk, blk=blk, sub=sub,
-                                  gemm_dtype=gemm_dtype, interpret=interpret)
+            if self.kernel_rank is not None:
+                agg = fused_edge_conv_lowrank(
+                    h_e, h, senders_perm, w3, b3, s_matrix,
+                    c_in=self.width, c_out=self.width,
+                    rank=self.kernel_rank, rows_blk=rows_blk, blk=blk,
+                    sub=sub, gemm_dtype=gemm_dtype, interpret=interpret)
+            else:
+                agg = fused_edge_conv(
+                    h_e, h, senders_perm, w3, b3, s_matrix,
+                    c_in=self.width, c_out=self.width,
+                    rows_blk=rows_blk, blk=blk, sub=sub,
+                    gemm_dtype=gemm_dtype, interpret=interpret)
             h = jax.nn.relu(agg[:n] + h @ conv["root"] + conv["bias"])
         return linear(params["fc2"], h)
 

@@ -521,6 +521,115 @@ def _fused_edge_conv_bwd_jit(g: jnp.ndarray, h_blocked: jnp.ndarray,
     return dh, dx_src_g, dw3, db3
 
 
+def _perm_u_lowrank(c_in: int, r: int) -> np.ndarray:
+    """U-part column permutation: out[:, q*c_in+i] = in[:, i*r+q]."""
+    j = np.arange(c_in * r)
+    q, i = j // c_in, j % c_in
+    return (i * r + q).astype(np.int32)
+
+
+def fused_edge_conv_lowrank(h_blocked, x, senders_perm, w3, b3, s_matrix, *,
+                            c_in: int, c_out: int, rank: int, rows_blk: int,
+                            blk: int, sub: int | None = None,
+                            gemm_dtype: str = "bfloat16",
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused conv for RANK-FACTORIZED edge kernels (kernel_rank models).
+
+    Per edge: W_e = U_e V_e^T with U_e [c_in, r], V_e [c_out, r] from one
+    edge-MLP output [2*r*w].  The kernel runs the two per-edge matvecs as
+    two (repeat, elementwise, block-diagonal-fold-GEMM) stages — the same
+    lane-tile trick as the full-rank 'repeat' mode, with per-tile lane width
+    r*(c_in+c_out) instead of c_in*c_out (3x less at w=48, r=8; this is the
+    lever the full-rank bwd roofline points at).  Same ScatterBlocks
+    structure as ``fused_edge_conv``; inference-only (no custom VJP yet —
+    training uses the XLA path).
+    """
+    return _fused_lowrank_jit(h_blocked, x, senders_perm, w3, b3, s_matrix,
+                              c_in=c_in, c_out=c_out, rank=rank,
+                              rows_blk=rows_blk, blk=blk, sub=sub,
+                              gemm_dtype=gemm_dtype, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_in", "c_out", "rank", "rows_blk", "blk", "sub",
+                     "gemm_dtype", "interpret"))
+def _fused_lowrank_jit(h_blocked, x, senders_perm, w3, b3, s_matrix, *,
+                       c_in, c_out, rank, rows_blk, blk, sub, gemm_dtype,
+                       interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    num_blocks = s_matrix.shape[0] // rows_blk
+    k = h_blocked.shape[1]
+    r = rank
+    ru, rv = r * c_in, r * c_out
+    if sub is None:
+        sub = next(s for s in (512, 256, 128, 64, 32, 16, 8, blk)
+                   if blk % s == 0)
+    assert blk % sub == 0, (blk, sub)
+    n_sub = blk // sub
+
+    dt = jnp.dtype(gemm_dtype)
+    x_src = x[senders_perm].astype(dt)
+    h_blocked = h_blocked.astype(dt)
+    # permute the U-part columns to the tiled layout q*c_in+i; V part
+    # ([.., o*r+q] from the reshape(e, c_out, r) convention) needs none
+    perm = jnp.concatenate([jnp.asarray(_perm_u_lowrank(c_in, r)),
+                            ru + jnp.arange(rv, dtype=jnp.int32)])
+    w3p = w3[:, perm].astype(dt)
+    b3p = b3[perm].astype(jnp.float32).reshape(1, ru + rv)
+    f1 = jnp.zeros((ru, r), dt).at[jnp.arange(ru), jnp.arange(ru) // c_in].set(1.0)
+    f2 = jnp.zeros((rv, c_out), dt).at[jnp.arange(rv), jnp.arange(rv) // r].set(1.0)
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(h_ref, x_ref, w3_ref, b3_ref, f1_ref, f2_ref, s_ref, out_ref):
+        acc = jnp.zeros((rows_blk, c_out), jnp.float32)
+        for ti in range(n_sub):
+            sl = slice(ti * sub, (ti + 1) * sub)
+            uv = (jnp.dot(h_ref[sl, :], w3_ref[:], precision=prec,
+                          preferred_element_type=jnp.float32)
+                  + b3_ref[:]).astype(dt)
+            u = uv[:, :ru]
+            v = uv[:, ru:]
+            xe = pltpu.repeat(x_ref[sl, :], r, axis=1)          # [sub, ru]
+            t = jnp.dot(u * xe, f1_ref[:], precision=prec,
+                        preferred_element_type=jnp.float32)      # [sub, r]
+            te = pltpu.repeat(t.astype(dt), c_out, axis=1)       # [sub, rv]
+            msg = jnp.dot(v * te, f2_ref[:], precision=prec,
+                          preferred_element_type=jnp.float32)    # [sub, c_out]
+            acc = acc + jnp.dot(s_ref[:, sl], msg,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((blk, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ru + rv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ru + rv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ru, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rv, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, blk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_blk, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * rows_blk, c_out),
+                                       jnp.float32),
+        interpret=interpret,
+    )(h_blocked, x_src, w3p, b3p, f1, f2, s_matrix)
+    return out
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_edge_conv_ad(h_blocked, x, w3, b3, s_matrix, fused_aux,

@@ -245,7 +245,8 @@ class PartitionScheduler:
         # FESR_FUSED_TRAIN=0 reverts to the XLA path.
         fused_train = (merged and jax.default_backend() in ("tpu", "axon")
                        and hasattr(train_model, "apply_fused_ad")
-                       and getattr(train_model, "fused_ok", True)
+                       and getattr(train_model, "fused_train_ok",
+                                   getattr(train_model, "fused_ok", True))
                        and os.environ.get("FESR_FUSED_TRAIN", "1") != "0")
         pretrained = self._load_models() if start_from_pretrained else None
 
@@ -300,7 +301,8 @@ class PartitionScheduler:
 
                 fused_mc = (os.environ.get("FESR_STEP_IMPL") == "shard_map_fused"
                             and hasattr(train_model, "apply_fused_ad")
-                            and getattr(train_model, "fused_ok", True))
+                            and getattr(train_model, "fused_train_ok",
+                                        getattr(train_model, "fused_ok", True)))
                 if fused_mc:
                     # multi-chip FUSED training: per-device merged shards +
                     # per-device scatter blocks, explicit psum step

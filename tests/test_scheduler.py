@@ -518,9 +518,11 @@ def test_lowrank_kernel_trains_and_predicts(synth, tmp_path_factory):
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
     from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
 
+    import os
+
     model = KernelNN(width=12, ker_width=6, depth=2, in_width=4, out_width=4,
                      kernel_rank=3)
-    assert not model.fused_ok
+    assert model.fused_ok and not model.fused_train_ok
     log_dir = str(tmp_path_factory.mktemp("logs_lr"))
     sched = PartitionScheduler("lowrank", 1, synth, model, train=True,
                                log_dir=log_dir, use_mesh=False)
@@ -531,3 +533,12 @@ def test_lowrank_kernel_trains_and_predicts(synth, tmp_path_factory):
     preds, refs, _, _ = sched.predict(x)
     for p in preds:
         assert np.isfinite(np.asarray(p)).all()
+    # fused lowrank predict (Pallas interpret on CPU) matches the XLA path
+    os.environ["FESR_FUSED_PREDICT"] = "force"
+    try:
+        preds_f, _, _, _ = sched.predict(x)
+    finally:
+        os.environ.pop("FESR_FUSED_PREDICT", None)
+    for a, b in zip(preds, preds_f):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-2
