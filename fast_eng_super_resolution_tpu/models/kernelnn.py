@@ -57,8 +57,8 @@ class KernelNN:
 
     @property
     def fused_train_ok(self) -> bool:
-        # training: the rank-r kernel has no custom VJP yet — XLA path
-        return self.kernel_rank is None
+        # both full-rank and rank-r convs have custom-VJP fused kernels
+        return True
 
     def init(self, key) -> dict:
         w = self.width
@@ -211,7 +211,8 @@ class KernelNN:
         ``prepare_fused_train``; bf16 GEMM passes for fwd and bwd (standard
         mixed precision), 'float32' for full-precision gradients.
         """
-        from ..ops.fused_conv import fused_edge_conv_ad
+        from ..ops.fused_conv import (fused_edge_conv_ad,
+                                      fused_edge_conv_lowrank_ad)
         from ..ops.message_passing import apply_edge_mlp_hidden
 
         conv = params["conv"]
@@ -221,9 +222,15 @@ class KernelNN:
                                     jax.nn.relu)
         w3, b3 = conv["edge_mlp"][-1]["w"], conv["edge_mlp"][-1]["b"]
         for _ in range(self.depth):
-            agg = fused_edge_conv_ad(h_e, h, w3, b3, s_matrix, fused_aux,
-                                     self.width, self.width, rows_blk, blk,
-                                     None, gemm_dtype, interpret)
+            if self.kernel_rank is not None:
+                agg = fused_edge_conv_lowrank_ad(
+                    h_e, h, w3, b3, s_matrix, fused_aux, self.width,
+                    self.width, self.kernel_rank, rows_blk, blk, None,
+                    gemm_dtype, interpret)
+            else:
+                agg = fused_edge_conv_ad(h_e, h, w3, b3, s_matrix, fused_aux,
+                                         self.width, self.width, rows_blk,
+                                         blk, None, gemm_dtype, interpret)
             h = jax.nn.relu(agg[:n] + h @ conv["root"] + conv["bias"])
         return linear(params["fc2"], h)
 

@@ -630,6 +630,204 @@ def _fused_lowrank_jit(h_blocked, x, senders_perm, w3, b3, s_matrix, *,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_in", "c_out", "rank", "rows_blk", "blk", "sub",
+                     "gemm_dtype", "interpret"))
+def _fused_lowrank_bwd_jit(g, h_blocked, x_src, w3, b3, s_matrix, *,
+                           c_in, c_out, rank, rows_blk, blk, sub,
+                           gemm_dtype, interpret):
+    """Backward of the rank-r fused conv wrt (h, x_src, w3, b3).
+
+    Same recompute strategy as the full-rank bwd; the chain runs backwards
+    through the two repeat+fold stages.  Layout algebra (see
+    ``_fused_lowrank_jit`` for the forward layouts):
+      dpv[e, o*r+q]   = dmsg[e, o]           -> interleave GEMM (T2)
+      dt[e, q]        = fold_o(dpv * v')      -> chunk fold (groups=c_out)
+      dpu[e, q*c+i]   = dt[e, q] * x[e, i]    -> interleave GEMM (T1) * xe
+      dx[e, i]        = fold_q(u' * dt_exp)   -> chunk fold (groups=r)
+      db3_u[q*c+i]    = (dt^T @ x)            -> one [r, c_in] dot
+      db3_v[o*r+q]    = (dmsg^T @ t)          -> one [c_out, r] dot
+    w3/b3 cotangents come back in the PERMUTED layout; the caller unpermutes.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    num_blocks = s_matrix.shape[0] // rows_blk
+    k = h_blocked.shape[1]
+    r = rank
+    ru, rv = r * c_in, r * c_out
+    if sub is None:
+        sub = next(s for s in (256, 128, 64, 32, 16, 8, blk) if blk % s == 0)
+    assert blk % sub == 0, (blk, sub)
+    n_sub = blk // sub
+
+    dt_ = jnp.dtype(gemm_dtype)
+    prec = (jax.lax.Precision.HIGHEST if dt_ == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    bf16 = dt_ == jnp.bfloat16
+    g = g.astype(jnp.float32)
+    h_blocked = h_blocked.astype(dt_)
+    x_src = x_src.astype(dt_)
+    perm = jnp.concatenate([jnp.asarray(_perm_u_lowrank(c_in, r)),
+                            ru + jnp.arange(rv, dtype=jnp.int32)])
+    w3p = w3[:, perm].astype(dt_)
+    b3p = b3[perm].reshape(1, ru + rv)
+    b3p = b3p.astype(dt_ if bf16 else jnp.float32)
+    f1 = jnp.zeros((ru, r), dt_).at[jnp.arange(ru), jnp.arange(ru) // c_in].set(1.0)
+    f2 = jnp.zeros((rv, c_out), dt_).at[jnp.arange(rv), jnp.arange(rv) // r].set(1.0)
+    t1 = jnp.zeros((r, ru), dt_).at[jnp.arange(ru) // c_in, jnp.arange(ru)].set(1.0)
+    t2 = jnp.zeros((c_out, rv), dt_).at[jnp.arange(rv) // r, jnp.arange(rv)].set(1.0)
+    # sublane-pad the small accumulators to >= 8 rows
+    pr, pc = max(r, 8), max(c_out, 8)
+
+    def dotg(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+
+    def pad_rows(a, rows):
+        if a.shape[0] == rows:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((rows - a.shape[0], a.shape[1]), jnp.float32)], 0)
+
+    def kernel(g_ref, h_ref, x_ref, w3_ref, b3_ref, f1_ref, f2_ref, t1_ref,
+               t2_ref, s_ref, dh_ref, dx_ref, dw3_ref, db3u_ref, db3v_ref):
+        dw3_acc = jnp.zeros((k, ru + rv), jnp.float32)
+        db3u_acc = jnp.zeros((pr, c_in), jnp.float32)   # [q, i] rows q
+        db3v_acc = jnp.zeros((pc, r), jnp.float32)      # [o, q] rows o
+        gq = g_ref[:].astype(dt_) if bf16 else g_ref[:]
+        for ti in range(n_sub):
+            sl = slice(ti * sub, (ti + 1) * sub)
+            # forward recompute
+            uv = dotg(h_ref[sl, :], w3_ref[:], 1, 0)
+            uv = (uv.astype(dt_) + b3_ref[:] if bf16 else uv + b3_ref[:])
+            u = uv[:, :ru]
+            v = uv[:, ru:]
+            xe = pltpu.repeat(x_ref[sl, :], r, axis=1)
+            t = dotg((u * xe).astype(dt_), f1_ref[:], 1, 0)   # [sub, r] f32
+            t_d = t.astype(dt_)
+            # backward chain
+            dmsg = dotg(s_ref[:, sl].astype(dt_) if bf16 else s_ref[:, sl],
+                        gq, 0, 0)                              # [sub, c_out]
+            dmsg_d = dmsg.astype(dt_)
+            dpv = dotg(dmsg_d, t2_ref[:], 1, 0).astype(dt_)    # [sub, rv]
+            te = pltpu.repeat(t_d, c_out, axis=1)
+            dv = dpv * te
+            dte = dpv * v
+            dt_vec = _fold_groups(dte, c_out, r)               # [sub, r]
+            dt_exp = dotg(dt_vec.astype(dt_), t1_ref[:], 1, 0).astype(dt_)
+            du = dt_exp * xe
+            dx_ref[sl, :] = _fold_groups((u * dt_exp).astype(jnp.float32),
+                                         r, c_in)
+            duv = jnp.concatenate([du.astype(dt_), dv.astype(dt_)], axis=1)
+            dh_ref[sl, :] = dotg(duv, w3_ref[:], 1, 1)
+            dw3_acc = dw3_acc + dotg(h_ref[sl, :], duv, 0, 0)
+            db3u_acc = db3u_acc + pad_rows(
+                dotg(dt_vec.astype(dt_), x_ref[sl, :], 0, 0), pr)
+            db3v_acc = db3v_acc + pad_rows(
+                dotg(dmsg_d, t_d, 0, 0), pc)
+        dw3_ref[:] = dw3_acc
+        db3u_ref[:] = db3u_acc
+        db3v_ref[:] = db3v_acc
+
+    dh, dx_src, dw3_parts, db3u_parts, db3v_parts = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((rows_blk, c_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ru + rv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ru + rv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ru, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rv, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, ru), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, rv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_blk, blk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ru + rv), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pr, c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks * blk, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * blk, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * k, ru + rv), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * pr, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * pc, r), jnp.float32),
+        ),
+        interpret=interpret,
+    )(g, h_blocked, x_src, w3p, b3p, f1, f2, t1, t2, s_matrix)
+
+    dw3p = jnp.sum(dw3_parts.reshape(num_blocks, k, ru + rv), axis=0)
+    db3u = jnp.sum(db3u_parts.reshape(num_blocks, pr, c_in),
+                   axis=0)[:r].reshape(ru)            # row-major == q*c_in+i
+    db3v = jnp.sum(db3v_parts.reshape(num_blocks, pc, r),
+                   axis=0)[:c_out].reshape(rv)        # row-major == o*r+q
+    db3p = jnp.concatenate([db3u, db3v])
+    # unpermute the w3/b3 cotangents back to the model's column layout
+    inv = jnp.zeros((ru + rv,), jnp.int32).at[
+        jnp.concatenate([jnp.asarray(_perm_u_lowrank(c_in, r)),
+                         ru + jnp.arange(rv, dtype=jnp.int32)])].set(
+        jnp.arange(ru + rv, dtype=jnp.int32))
+    return dh, dx_src, dw3p[:, inv], db3p[inv]
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def fused_edge_conv_lowrank_ad(h_blocked, x, w3, b3, s_matrix, fused_aux,
+                               c_in, c_out, rank, rows_blk, blk, sub,
+                               gemm_dtype, interpret):
+    """Differentiable rank-r fused conv (training path) — same contract as
+    ``fused_edge_conv_ad`` with the factorized kernel."""
+    return fused_edge_conv_lowrank(
+        h_blocked, x, fused_aux["senders_perm"], w3, b3, s_matrix,
+        c_in=c_in, c_out=c_out, rank=rank, rows_blk=rows_blk, blk=blk,
+        sub=sub, gemm_dtype=gemm_dtype, interpret=interpret)
+
+
+def _fused_lr_ad_fwd(h_blocked, x, w3, b3, s_matrix, fused_aux,
+                     c_in, c_out, rank, rows_blk, blk, sub, gemm_dtype,
+                     interpret):
+    out = fused_edge_conv_lowrank_ad(
+        h_blocked, x, w3, b3, s_matrix, fused_aux, c_in, c_out, rank,
+        rows_blk, blk, sub, gemm_dtype, interpret)
+    return out, (h_blocked, x, w3, b3, s_matrix, fused_aux)
+
+
+def _fused_lr_ad_bwd(c_in, c_out, rank, rows_blk, blk, sub, gemm_dtype,
+                     interpret, res, g):
+    h_blocked, x, w3, b3, s_matrix, fused_aux = res
+    x_src = x[fused_aux["senders_perm"]]
+    dh, dx_src, dw3, db3 = _fused_lowrank_bwd_jit(
+        g, h_blocked, x_src, w3, b3, s_matrix, c_in=c_in, c_out=c_out,
+        rank=rank, rows_blk=rows_blk, blk=blk, sub=sub,
+        gemm_dtype=gemm_dtype, interpret=interpret)
+    n = x.shape[0]
+    dx = jax.ops.segment_sum(dx_src, fused_aux["senders_dump"],
+                             num_segments=n + 1)[:n]
+    return (dh, dx.astype(x.dtype), dw3.astype(w3.dtype),
+            db3.astype(b3.dtype), jnp.zeros_like(s_matrix), None)
+
+
+fused_edge_conv_lowrank_ad.defvjp(_fused_lr_ad_fwd, _fused_lr_ad_bwd)
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_edge_conv_ad(h_blocked, x, w3, b3, s_matrix, fused_aux,

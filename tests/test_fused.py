@@ -318,3 +318,47 @@ def test_bwd_kernel_matches_dense_reference_small_cin():
             rel = float(jnp.linalg.norm(a - b)
                         / (float(jnp.linalg.norm(a)) or 1.0))
             assert rel < 1e-5, (impl, rel)
+
+
+def test_lowrank_fused_ad_matches_xla_autograd():
+    """Rank-r fused conv custom VJP (fwd + bwd kernels) == XLA autograd of
+    the same model, interpret mode, ranks below and above the sublane pad."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.ops.fused_conv import prepare_fused_train
+
+    rng = np.random.default_rng(0)
+    n, e = 128, 1000
+    for rank in (4, 16):
+        m = KernelNN(width=16, ker_width=8, depth=3, ker_in=1, in_width=4,
+                     out_width=4, kernel_rank=rank, edges_sorted=True)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        r = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+        ea = jnp.asarray((0.5 + rng.random((e, 1))).astype(np.float32))
+        em = jnp.asarray(rng.random(e) > 0.1)
+        y = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+
+        def loss_xla(p):
+            return jnp.sum((m.apply(p, x, s, r, ea, edge_mask=em) - y) ** 2)
+
+        ea_b, aux, sm, rb, bk = prepare_fused_train(
+            np.asarray(s), np.asarray(r), np.asarray(ea), n, np.asarray(em))
+        ea_b, sm = jnp.asarray(ea_b), jnp.asarray(sm)
+        aux = {k2: jnp.asarray(v) for k2, v in aux.items()}
+
+        def loss_fused(p):
+            out = m.apply_fused_ad(p, x, ea_b, aux, sm, rows_blk=rb, blk=bk,
+                                   gemm_dtype="float32", interpret=True)
+            return jnp.sum((out - y) ** 2)
+
+        la, lb = float(loss_xla(p)), float(loss_fused(p))
+        assert abs(la - lb) / max(abs(la), 1.0) < 1e-5
+        ga, gb = jax.grad(loss_xla)(p), jax.grad(loss_fused)(p)
+        for ta, tb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            denom = max(float(jnp.linalg.norm(ta)), 1e-12)
+            assert float(jnp.linalg.norm(ta - tb)) / denom < 1e-4, rank
