@@ -513,8 +513,8 @@ def test_hetero_batches_cut_padding_on_skew(synth, tmp_path_factory):
 
 def test_lowrank_kernel_trains_and_predicts(synth, tmp_path_factory):
     """kernel_rank=r (beyond-parity factorized edge kernels): trains through
-    the scheduler (fused path correctly disabled via fused_ok) and predicts
-    finite fields end-to-end."""
+    the scheduler and predicts finite fields end-to-end; the fused low-rank
+    interpret-mode predict matches the XLA path."""
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
     from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
 
@@ -522,7 +522,8 @@ def test_lowrank_kernel_trains_and_predicts(synth, tmp_path_factory):
 
     model = KernelNN(width=12, ker_width=6, depth=2, in_width=4, out_width=4,
                      kernel_rank=3)
-    assert model.fused_ok and not model.fused_train_ok
+    # rank-r has fused kernels for BOTH inference and training (custom VJP)
+    assert model.fused_ok and model.fused_train_ok
     log_dir = str(tmp_path_factory.mktemp("logs_lr"))
     sched = PartitionScheduler("lowrank", 1, synth, model, train=True,
                                log_dir=log_dir, use_mesh=False)
