@@ -118,9 +118,11 @@ def bench_train(raw, iters: int = 4):
     relay's identical-execution cache cannot distort the number; params/opt
     state change every step, and the final host-side float(loss) serializes.
 
-    Uses half the inference workload's subdomains: the per-edge operator's
-    backward holds a ~40 KB/edge transient (BASELINE.md), so the training
-    batch is edge-budgeted to fit a 16 GB v5e at w=48.
+    Uses 3/4 of the inference workload's subdomains — the measured-best
+    training batch for the fused path (round 3, v5e: 4/6/8 subdomains =
+    256k/269k/215k nodes/s; the fused custom-VJP recomputes per tile so the
+    XLA path's ~40 KB/edge bwd transient no longer caps the batch, but the
+    full batch tips HBM pressure into a slowdown).
     """
     import jax
     import jax.numpy as jnp
@@ -129,7 +131,7 @@ def bench_train(raw, iters: int = 4):
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
     from fast_eng_super_resolution_tpu.parallel.train import Trainer
 
-    sub = raw[: max(1, len(raw) // 2)]
+    sub = raw[: max(1, 3 * len(raw) // 4)]
     (_, _, batch), = pad_and_bucket(sub)
     merged, _ = merge_batch(batch)
     real_nodes = int(sum(g["x"].shape[0] for g in sub))
