@@ -48,7 +48,8 @@ def build_workload():
     return raw, batch, real_nodes
 
 
-def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
+def bench_jax(batch, real_nodes: int, iters: int = 20,
+              kernel_rank: int | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +62,8 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
     # don't lower there; interpret mode is orders slower than XLA).
     fused = jax.default_backend() in ("tpu", "axon")
     model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
-                     in_width=4, out_width=4, mode="edge3d", edges_sorted=True)
+                     in_width=4, out_width=4, mode="edge3d", edges_sorted=True,
+                     kernel_rank=kernel_rank)
     params = model.init(jax.random.PRNGKey(0))
 
     from fast_eng_super_resolution_tpu.core.graph import merge_batch
@@ -111,7 +113,7 @@ def bench_jax(batch, real_nodes: int, iters: int = 20) -> float:
     return real_nodes / dt, params, model
 
 
-def bench_train(raw, iters: int = 4):
+def bench_train(raw, iters: int = 4, kernel_rank: int | None = None):
     """Training throughput: fwd + gradient-weighted-loss bwd + Adam, merged
     layout (the single-chip production path, sched/scheduler.py).  One scan
     dispatch over ``iters`` steps (Trainer.epoch) so tunnel latency and the
@@ -137,7 +139,8 @@ def bench_train(raw, iters: int = 4):
     real_nodes = int(sum(g["x"].shape[0] for g in sub))
 
     model = KernelNN(width=WIDTH, ker_width=WIDTH, depth=DEPTH, ker_in=1,
-                     in_width=4, out_width=4, edges_sorted=True)
+                     in_width=4, out_width=4, edges_sorted=True,
+                     kernel_rank=kernel_rank)
     if jax.default_backend() in ("tpu", "axon"):
         # production TPU path: fused Pallas conv with custom VJP — 2.81x the
         # XLA merged step (208k vs 74k nodes/s measured on v5e)
@@ -265,6 +268,22 @@ def main():
     except Exception as e:
         print(f"fno bench failed: {e!r}", file=sys.stderr)
         fno_tput = 0.0
+    # beyond-parity low-rank rows (kernel_rank=16: 90% of full-rank quality
+    # at ~1.5x inference / ~1.2x training speedup measured round 3) — clearly
+    # labeled secondary metrics so regressions in the factorized fused
+    # kernels are driver-visible; skipped silently off-TPU or on failure
+    lr_tput = lr_train_tput = 0.0
+    import jax as _jax
+
+    if _jax.default_backend() in ("tpu", "axon"):
+        try:
+            lr_tput, _, _ = bench_jax(batch, real_nodes, kernel_rank=16)
+        except Exception as e:
+            print(f"lowrank infer bench failed: {e!r}", file=sys.stderr)
+        try:
+            lr_train_tput, _ = bench_train(raw, kernel_rank=16)
+        except Exception as e:
+            print(f"lowrank train bench failed: {e!r}", file=sys.stderr)
     try:
         base_tput = bench_torch_baseline(raw, params, model)
         vs = jax_tput / base_tput
@@ -280,6 +299,10 @@ def main():
         "train_nodes_per_s": round(train_tput, 1),
         "fno_cells_per_s": round(fno_tput, 1),
     }
+    if lr_tput:
+        rec["lowrank16_nodes_per_s"] = round(lr_tput, 1)
+    if lr_train_tput:
+        rec["lowrank16_train_nodes_per_s"] = round(lr_train_tput, 1)
     if "train_tflops" in train_info:
         rec["train_tflops"] = round(train_info["train_tflops"], 3)
     if "train_mfu_f32" in train_info:
