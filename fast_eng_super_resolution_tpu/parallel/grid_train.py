@@ -55,8 +55,27 @@ class GridTrainer:
                 body, (params, opt_state), order)
             return params, opt_state, losses
 
+        def epoch_stacked(params, opt_state, xb, yb):
+            """Scanned epoch over pre-batched [S, B, ...] arrays.
+
+            The multi-chip form of ``epoch``: no per-step index gather, so
+            sharding the B axis on a data mesh (``shard_grid_epoch``) keeps
+            every step's batch device-local — GSPMD inserts exactly one grad
+            psum per step, the DDP pattern (scheduler_gnn.py:349-386) with
+            zero collective code."""
+
+            def body(carry, xy):
+                params, opt_state = carry
+                params, opt_state, loss = step(params, opt_state, *xy)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (xb, yb))
+            return params, opt_state, losses
+
         self._step = jax.jit(step)
         self._epoch = jax.jit(epoch)
+        self._epoch_stacked = jax.jit(epoch_stacked)
         self._loss = jax.jit(loss_fn)
         self._predict = jax.jit(predict)
 
@@ -84,6 +103,13 @@ class GridTrainer:
         """order: [n_batches, batch_size] int32 sample indices."""
         return self._epoch(params, opt_state, x, y, jnp.asarray(order, jnp.int32))
 
+    def epoch_stacked(self, params, opt_state, xb, yb):
+        """xb/yb: [n_batches, batch_size, ...]; see epoch_stacked above.
+
+        For multi-chip DP: replicate params on the mesh and shard xb/yb with
+        ``shard_grid_epoch`` first."""
+        return self._epoch_stacked(params, opt_state, xb, yb)
+
     def evaluate(self, params, x, y) -> float:
         return float(self._loss(params, x, y))
 
@@ -94,3 +120,15 @@ class GridTrainer:
     def set_lr(opt_state, lr: float):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt_state
+
+
+def shard_grid_epoch(xb, yb, mesh, axis: str = "data"):
+    """Shards [S, B, ...] epoch arrays on the per-step batch axis (axis 1).
+
+    Pair with ``parallel.mesh.replicate`` for params/opt state; B must be a
+    multiple of the mesh's data-axis size (pad with repeated samples if not —
+    the MSE mean just reweights negligibly for a converged shuffle)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, axis))
+    return jax.device_put(xb, sh), jax.device_put(yb, sh)

@@ -282,3 +282,43 @@ def test_fused_shard_map_step_matches_single_device():
     fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_ref)])
     fb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_sm)])
     np.testing.assert_allclose(fb, fa, rtol=1e-3, atol=1e-5)
+
+
+def test_grid_trainer_dp_epoch_matches_single_device():
+    """Grid-family DP (round 3): epoch_stacked with the per-step batch axis
+    sharded on an 8-device data mesh reproduces the single-device epoch —
+    params replicated, GSPMD emits the per-step grad psum (the DDP pattern
+    for FNO/DeepONet training, scheduler_gnn.py:349-386)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+    from fast_eng_super_resolution_tpu.parallel.grid_train import (
+        GridTrainer, shard_grid_epoch)
+    from fast_eng_super_resolution_tpu.parallel.mesh import make_mesh, replicate
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual devices")
+
+    rng = np.random.default_rng(0)
+    xb = rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32)  # [S, B, H, W, C]
+    yb = rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32)
+
+    model = FNO2d(modes1=3, modes2=3, width=6, in_feats=1, spectral_impl="fft")
+    trainer = GridTrainer(model, lr=1e-3, out_channels=1)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), xb[0])
+
+    p_ref, _, losses_ref = trainer.epoch_stacked(params, opt_state,
+                                                 jnp.asarray(xb),
+                                                 jnp.asarray(yb))
+
+    mesh = make_mesh()
+    xs, ys = shard_grid_epoch(jnp.asarray(xb), jnp.asarray(yb), mesh)
+    p_dp, _, losses_dp = trainer.epoch_stacked(
+        replicate(params, mesh), replicate(opt_state, mesh), xs, ys)
+
+    np.testing.assert_allclose(np.asarray(losses_dp), np.asarray(losses_ref),
+                               rtol=1e-5)
+    fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_ref)])
+    fb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_dp)])
+    np.testing.assert_allclose(fb, fa, rtol=1e-4, atol=1e-6)
