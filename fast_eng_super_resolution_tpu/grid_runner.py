@@ -89,6 +89,23 @@ def train_grid(exp_name: str, model, dataset, train_config: dict,
 
     x_tr, y_tr = jnp.asarray(x_tr), jnp.asarray(y_tr)  # upload once
 
+    # Multi-chip DP (round 3): when a device mesh is available and the batch
+    # divides it, run the stacked-epoch scan with the per-step batch axis
+    # sharded — params replicate, GSPMD emits one grad psum per step (the
+    # grid-family analog of the graph path's sharded training;
+    # scheduler_gnn.py:349-386).  Grid snapshots are small, so the per-epoch
+    # host gather + re-place costs nothing measurable.
+    ndev = jax.device_count()
+    use_dp = (ndev > 1 and batch_size % ndev == 0
+              and os.environ.get("FESR_GRID_DP", "1") != "0")
+    if use_dp:
+        from .parallel.grid_train import shard_grid_epoch
+        from .parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
     logger = MetricLogger(exp_name, log_dir, config=dict(train_config))
     rng = np.random.default_rng(0)
     best_val = float("inf")
@@ -101,8 +118,13 @@ def train_grid(exp_name: str, model, dataset, train_config: dict,
         # sample is still seen with equal probability across epochs
         order = rng.permutation(n_tr)[: n_batches * batch_size]
         order = order.reshape(n_batches, batch_size)
-        params, opt_state, losses = trainer.epoch(
-            params, opt_state, x_tr, y_tr, order)
+        if use_dp:
+            xb, yb = shard_grid_epoch(x_tr[order], y_tr[order], mesh)
+            params, opt_state, losses = trainer.epoch_stacked(
+                params, opt_state, xb, yb)
+        else:
+            params, opt_state, losses = trainer.epoch(
+                params, opt_state, x_tr, y_tr, order)
         train_loss = float(np.mean(np.asarray(losses)))
         opt_state = trainer.set_lr(opt_state, sched(epoch + 1))
         if epoch % val_interval == 0 or epoch == epochs - 1:
