@@ -1,17 +1,24 @@
 """Serving latency benchmark: warm per-mesh p50 through both predict paths.
 
 Measures the steady-state request latency a serving deployment sees —
-repeated predictions on the same (small) mesh with a warm PartitionScheduler
-— for (a) the one-dispatch fast path (``scheduler.predict_full``: fused conv
-+ reference stitching + segment-mean reconstruction in a single device
+repeated predictions on the same mesh with a warm PartitionScheduler — for
+(a) the one-dispatch fast path (``scheduler.predict_full``: fused conv +
+reference stitching + segment-mean reconstruction in a single device
 program) and (b) the general path (``scheduler.predict`` + host
 ``overlap_average``), which pays one tunnel round-trip per dispatch.
+
+``--sizes`` sweeps mesh sizes with ONE trained model (latency does not need
+a converged model): per size a fresh synthetic mesh is built and both paths
+are timed warm.  Above ``FESR_PREDICT_EDGE_BUDGET`` (default 300k edges) the
+fast path declines by design and big meshes chunk through the general path —
+the sweep prints that crossover honestly.
 
 Round-3 measurement on the v5e relay (432-node mesh, 4 subdomains, w=48 d=4):
 fast path p50 290 ms vs general 2,839 ms; the round-2 serving floor was
 ~1.0 s/mesh (BASELINE.md serving row).
 
 Run:  python benchmarks/serving.py [--requests 10] [--width 48]
+      python benchmarks/serving.py --sizes 12x6x6,20x10x10,32x16x16
 """
 
 from __future__ import annotations
@@ -36,11 +43,15 @@ def main():
     parser.add_argument("--root", default="/tmp/fesr_serving_data")
     parser.add_argument("--epochs", type=int, default=2,
                         help="latency does not need a converged model")
+    parser.add_argument("--sizes", default="12x6x6",
+                        help="comma-separated fine-mesh dims to sweep")
     args = parser.parse_args()
 
     from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
     from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    sizes = [tuple(int(v) for v in s.split("x")) for s in args.sizes.split(",")]
 
     ds = SyntheticDataset(root=args.root, partition=True, sub_size=4,
                           n_high=(12, 6, 6), n_low=(8, 4, 4), num_cases=2)
@@ -51,23 +62,37 @@ def main():
     sched = PartitionScheduler("serving_bench", 1, ds, model, train=True,
                                log_dir="/tmp/fesr_serving_logs")
     sched.train(cfg)
-    x = ds.get_one_full_sample(0)
-    full = ds.full_mesh(0)
-    n = len(full["points"])
-    print(f"mesh nodes: {n}  subdomains: {len(x)}", flush=True)
 
-    fast = sched.predict_full(x, n)
-    if fast is None:
-        print("fast path unavailable (preconditions) — general only")
-    sched.predict(x)  # warm the general path too
+    for dims in sizes:
+        if dims == (12, 6, 6):
+            ds_s = ds
+        else:
+            low = tuple(max(2, d * 2 // 3) for d in dims)
+            ds_s = SyntheticDataset(
+                root=f"{args.root}_{'x'.join(map(str, dims))}",
+                partition=True, sub_size=4, n_high=dims, n_low=low,
+                num_cases=1)
+        x = ds_s.get_one_full_sample(0)
+        full = ds_s.full_mesh(0)
+        n = len(full["points"])
+        edges = sum(int(np.asarray(d["senders"]).shape[0]) for d in x)
+        print(f"--- mesh {dims}: {n} nodes, {len(x)} subdomains, "
+              f"{edges} edges", flush=True)
 
-    paths = [("general", lambda: sched.predict(x))]
-    if fast is not None:
-        paths.insert(0, ("predict_full", lambda: sched.predict_full(x, n)))
-    for name, fn in paths:
-        ts = sorted(_time(fn) for _ in range(args.requests))
-        print(f"{name}: p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
-              f"min {ts[0] * 1e3:.0f} ms", flush=True)
+        fast = sched.predict_full(x, n)
+        if fast is None:
+            print("predict_full: unavailable (edge budget / preconditions) "
+                  "— general path only", flush=True)
+        sched.predict(x)  # warm the general path too
+
+        paths = [("general", lambda: sched.predict(x))]
+        if fast is not None:
+            paths.insert(0, ("predict_full",
+                             lambda: sched.predict_full(x, n)))
+        for name, fn in paths:
+            ts = sorted(_time(fn) for _ in range(args.requests))
+            print(f"{name}: p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
+                  f"min {ts[0] * 1e3:.0f} ms", flush=True)
 
 
 def _time(fn):
