@@ -439,7 +439,7 @@ class SyntheticDataset(AnsysDataset):
         # sees the upstream body's wake field); k == 1 / True keeps the
         # round-2 RNG sequence so existing caches rebuild bit-identically.
         _obs = kwargs.pop("obstacle", False)
-        self._n_obstacles = int(_obs) if not isinstance(_obs, bool) else int(_obs)
+        self._n_obstacles = int(_obs)
         self._obstacle = self._n_obstacles > 0
         # vary_resolution=True: each case scales n_high by 0.75-1.5x (n_low
         # keeps the 2x ratio) so training spans mesh densities — the remedy

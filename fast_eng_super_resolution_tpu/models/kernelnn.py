@@ -48,7 +48,8 @@ class KernelNN:
     # roofline is total [E, w^2] lane traffic (ops/fused_conv.py bwd notes),
     # inherent to full-rank per-edge matrices; rank r cuts per-edge state and
     # flops from w^2 to 2*r*w (3x at w=48, r=8).  Opt-in; no reference analog
-    # (NNConv is full-rank, model.py:521-536); disables the fused Pallas path.
+    # (NNConv is full-rank, model.py:521-536); has its own fused Pallas
+    # kernels (fused_edge_conv_lowrank{,_ad}) — see fused_ok below.
 
     @property
     def fused_ok(self) -> bool:

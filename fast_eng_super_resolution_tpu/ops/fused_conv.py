@@ -201,7 +201,8 @@ def _xe_impl(requested: str | None) -> str:
     round-2 kernel (also the fallback if a toolchain lacks tpu.repeat)."""
     import os
 
-    impl = os.environ.get("FESR_FUSED_XE", requested or "repeat")
+    # explicit caller choice wins; the env var only overrides the default
+    impl = requested or os.environ.get("FESR_FUSED_XE", "repeat")
     assert impl in ("repeat", "gemm"), impl
     return impl
 
@@ -404,7 +405,13 @@ def _fused_edge_conv_bwd_jit(g: jnp.ndarray, h_blocked: jnp.ndarray,
     w3d = w3.astype(dt)
     b3f = b3.astype(jnp.float32).reshape(1, c2)
     p = _expansion_matrix(c_in, c_out, dt)
-    t_mat = _tile_matrix(c_out, c_in, dt)
+    if xe_impl == "repeat":
+        # t_ref is never read in repeat mode (dprod is a pltpu.repeat lane
+        # tile) — pass a minimal Mosaic-legal dummy instead of holding the
+        # [c_out, c2] tile matrix (~442 KB f32 at w=48) in VMEM all kernel
+        t_mat = jnp.zeros((8, 128), dt)
+    else:
+        t_mat = _tile_matrix(c_out, c_in, dt)
 
     def dotg(a, b, ca, cb):
         return jax.lax.dot_general(
@@ -486,7 +493,7 @@ def _fused_edge_conv_bwd_jit(g: jnp.ndarray, h_blocked: jnp.ndarray,
             pl.BlockSpec((1, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c_in, c2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_out, c2), lambda i: (0, 0),
+            pl.BlockSpec(tuple(t_mat.shape), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_blk, blk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -53,8 +53,12 @@ def _gw_scalar_fwd(diff, senders, receivers, idx, edge_attr, masks,
     arg = jnp.argmax(g, axis=1)                                # [E]
     node_w = jax.ops.segment_sum(edge_w * edge_mask_f, idx, num_segments=n)
     clamped = jnp.minimum(node_w, max_weight)
-    # clamp-active gradient gates (jnp.minimum/maximum tie semantics: the
-    # first operand wins the gradient at equality)
+    # clamp-active gradient gates.  Tie caveat: at exact equality JAX's
+    # minimum/maximum split the gradient 0.5/0.5 and jnp.max splits tied
+    # channel maxima 1/N, while this VJP gives the clamp boundary and the
+    # argmax-first channel the full gradient — so grads differ from XLA
+    # autograd on measure-zero tie sets (e.g. node_w exactly at min_weight).
+    # Acceptable: this path is an opt-in measured dead end (FESR_LOSS_VJP).
     active = (node_w <= max_weight).astype(diff.dtype)
     if min_weight is not None:
         active = active * (clamped >= min_weight).astype(diff.dtype)
@@ -123,7 +127,8 @@ def gradient_weight_scalar(
         # custom-VJP path — MEASURED DEAD END on v5e (round 3), kept for the
         # record + parity coverage: the hand-written backward (one pathway for
         # pred AND target since the weight depends only on their difference;
-        # one-hot argmax channels + segment-sums) is bit-exact but SLOWER
+        # one-hot argmax channels + segment-sums) matches XLA autograd on
+        # non-tied inputs (see the tie caveat in _gw_scalar_fwd) but is SLOWER
         # than XLA autograd at bench scale (E=296k: 17.8 ms vs 13.6 ms
         # fwd+bwd; sorted-receivers 17.4, flat-scalar-scatter 17.1) — XLA
         # fuses the gather transposes with the max backward into one scatter

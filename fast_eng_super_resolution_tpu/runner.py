@@ -131,9 +131,9 @@ def main(args, default_sub_size_kw: bool = False):
     device = exp_config.get("device")
     if device:
         # in-process platform override BEFORE the first traced op (the only
-        # point it can take effect).  Use case: this environment's relay TPU
-        # backend lacks FFT, so fno_advected.yaml pins 'cpu'; real TPUs
-        # implement FFT natively and should drop the key.
+        # point it can take effect).  Escape hatch for backends missing an
+        # op a model needs; no shipped config pins it anymore (the matmul-DFT
+        # spectral conv runs FNO without any FFT primitive).
         import jax
 
         jax.config.update("jax_platforms", device)

@@ -534,6 +534,10 @@ class PartitionScheduler:
             entry = (ops, nbytes)
             if nbytes <= budget:
                 self._fused_cache[key] = entry
+                total = sum(b for _, b in self._fused_cache.values())
+                while total > budget and len(self._fused_cache) > 1:
+                    old_key = next(iter(self._fused_cache))
+                    total -= self._fused_cache.pop(old_key)[1]
         ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
 
         fn = self._serve_jit = getattr(self, "_serve_jit", None) or jax.jit(
