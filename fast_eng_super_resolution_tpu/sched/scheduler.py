@@ -495,32 +495,47 @@ class PartitionScheduler:
         interp = fused_env == "force" and jax.default_backend() not in (
             "tpu", "axon")
         raw = [_as_raw_graph(d) for d in x]
-        (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
-        if rest:  # uniform=True always yields one bucket; defensive
-            return None
-        e_total = int(batch.senders.shape[0] * batch.senders.shape[1])
-        if e_total > int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000)):
+        spec = BucketSpec()
+        b = len(raw)
+        n_pad, e_pad = spec.bucket_for(
+            max(g["x"].shape[0] for g in raw),
+            max(g["senders"].shape[0] for g in raw))
+        if b * e_pad > int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000)):
             return None  # big meshes chunk through the general path
-        merged, _ = merge_batch(batch)
 
         import dataclasses as _dc
         infer_model = self.model
         if hasattr(self.model, "edges_sorted"):
             infer_model = _dc.replace(self.model, edges_sorted=True)
 
+        # Cache key from the RAW (host numpy) geometry.  Round-3 latency
+        # attribution: hashing the merged batch cost one device->host fetch
+        # per array (~35 ms each over the relay tunnel, 5 arrays) because
+        # pad_and_bucket uploads its output — those fetches, not the
+        # dispatch, were most of the 290 ms warm floor.  Per-subdomain
+        # shapes are hashed too, so node/edge counts (which determine the
+        # cached masks and scatter blocks) are part of the identity.
         import hashlib
-        send = np.asarray(merged.senders)
-        recv = np.asarray(merged.receivers)
-        ea = np.asarray(merged.edge_attr)
-        em = np.asarray(merged.edge_mask)
-        gids = np.asarray(merged.global_ids)
-        nm = np.asarray(merged.node_mask)
         hsh = hashlib.blake2b(digest_size=16)
-        for a in (send, recv, ea, em, gids):
-            hsh.update(a.tobytes())
-        key = ("full", hsh.hexdigest(), num_nodes, merged.x.shape[0])
+        for g in raw:
+            for a in (g["senders"], g["receivers"], g["edge_attr"],
+                      g["global_ids"]):
+                aa = np.asarray(a)
+                hsh.update(aa.tobytes())
+                hsh.update(str(aa.shape).encode())
+        key = ("full", hsh.hexdigest(), num_nodes, b * n_pad, e_pad)
         entry = self._fused_cache.get(key)
         if entry is None:
+            (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
+            if rest:  # uniform=True always yields one bucket; defensive
+                return None
+            merged, _ = merge_batch(batch)
+            send = np.asarray(merged.senders)
+            recv = np.asarray(merged.receivers)
+            ea = np.asarray(merged.edge_attr)
+            em = np.asarray(merged.edge_mask)
+            gids = np.asarray(merged.global_ids)
+            nm = np.asarray(merged.node_mask)
             ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
                 send, recv, ea, merged.x.shape[0], em)
             # padding / out-of-mesh rows scatter to a dump segment
@@ -534,21 +549,38 @@ class PartitionScheduler:
             entry = (ops, nbytes)
             if nbytes <= budget:
                 self._fused_cache[key] = entry
-                total = sum(b for _, b in self._fused_cache.values())
+                total = sum(nb for _, nb in self._fused_cache.values())
                 while total > budget and len(self._fused_cache) > 1:
                     old_key = next(iter(self._fused_cache))
                     total -= self._fused_cache.pop(old_key)[1]
         ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
+
+        # Per-request payload packing, host side — identical layout to
+        # merge_batch(pad_and_bucket(raw)).x/.y (zeros in padded slots,
+        # original subdomain order), without re-padding and re-uploading the
+        # graph geometry on every request.
+        c_in = raw[0]["x"].shape[1]
+        y0 = raw[0]["y"]
+        c_out = y0.shape[1] if y0 is not None else c_in
+        xm = np.zeros((b * n_pad, c_in), np.float32)
+        ym = np.zeros((b * n_pad, c_out), np.float32)
+        for i, g in enumerate(raw):
+            n_i = g["x"].shape[0]
+            xm[i * n_pad: i * n_pad + n_i] = g["x"]
+            if g["y"] is not None:
+                ym[i * n_pad: i * n_pad + n_i] = g["y"]
 
         fn = self._serve_jit = getattr(self, "_serve_jit", None) or jax.jit(
             lambda params, xm, ym, ea_b, sp, sm, gid, w, rows_blk, blk, nn:
             self._serve_body(infer_model, params, xm, ym, ea_b, sp, sm, gid,
                              w, rows_blk, blk, nn, interp),
             static_argnums=(8, 9, 10))
-        pred_full, ref_full = fn(self.params_list[0], merged.x, merged.y,
-                                 ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk,
-                                 blk, num_nodes)
-        return np.asarray(pred_full), np.asarray(ref_full)
+        out = fn(self.params_list[0], xm, ym, ea_b_j, sp_j, sm_j, gid_j,
+                 w_j, rows_blk, blk, num_nodes)
+        if isinstance(out, tuple):  # pred/ref channel counts differ
+            return np.asarray(out[0]), np.asarray(out[1])
+        o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
+        return o[0], o[1]
 
     @staticmethod
     def _serve_body(infer_model, params, xm, ym, ea_b, sp, sm, gid, w,
@@ -561,8 +593,12 @@ class PartitionScheduler:
         accr = jax.ops.segment_sum(ym * wc, gid, num_segments=num_nodes + 1)
         ws = jnp.maximum(
             jax.ops.segment_sum(w, gid, num_segments=num_nodes + 1), 1e-30)
-        return (accp[:num_nodes] / ws[:num_nodes, None],
-                accr[:num_nodes] / ws[:num_nodes, None])
+        pred_o = accp[:num_nodes] / ws[:num_nodes, None]
+        ref_o = accr[:num_nodes] / ws[:num_nodes, None]
+        if pred_o.shape == ref_o.shape:
+            # one stacked output -> ONE device->host transfer per request
+            return jnp.stack([pred_o, ref_o])
+        return (pred_o, ref_o)
 
     def predict(self, x: list[dict]):
         """Predicts all subdomains of one full sample.
