@@ -13,9 +13,10 @@ are timed warm.  Above ``FESR_PREDICT_EDGE_BUDGET`` (default 300k edges) the
 fast path declines by design and big meshes chunk through the general path —
 the sweep prints that crossover honestly.
 
-Round-3 measurement on the v5e relay (432-node mesh, 4 subdomains, w=48 d=4):
-fast path p50 290 ms vs general 2,839 ms; the round-2 serving floor was
-~1.0 s/mesh (BASELINE.md serving row).
+Round-3 measurement on the v5e relay (4 subdomains, w=48 d=4): fast path v2
+(raw-geometry cache keys + host payload packing + single stacked fetch)
+p50 113/66/71 ms at 432/2k/8k nodes vs general ~3 s; earlier round-3 fast
+path was 290-505 ms, round-2 floor ~1.0 s/mesh (BASELINE.md serving rows).
 
 Run:  python benchmarks/serving.py [--requests 10] [--width 48]
       python benchmarks/serving.py --sizes 12x6x6,20x10x10,32x16x16
