@@ -15,8 +15,9 @@ the sweep prints that crossover honestly.
 
 Round-3 measurement on the v5e relay (4 subdomains, w=48 d=4): fast path v2
 (raw-geometry cache keys + host payload packing + single stacked fetch)
-p50 113/66/71 ms at 432/2k/8k nodes vs general ~3 s; earlier round-3 fast
-path was 290-505 ms, round-2 floor ~1.0 s/mesh (BASELINE.md serving rows).
+p50 46/53/70 ms at 432/2k/8k nodes; general path (scheduler-cached jits)
+106/114/136 ms — earlier round-3 fast path was 290-505 ms with a ~2.9 s
+general path, round-2 floor ~1.0 s/mesh (BASELINE.md serving rows).
 
 Run:  python benchmarks/serving.py [--requests 10] [--width 48]
       python benchmarks/serving.py --sizes 12x6x6,20x10x10,32x16x16

@@ -614,6 +614,18 @@ class PartitionScheduler:
         n_real = [g["x"].shape[0] for g in raw]
         ref_y_list = [np.asarray(d["y"]) for d in x]
 
+        # raw-geometry mesh hash, host side — the chunk-level fused-operand
+        # caches key off this + chunk identity, so warm requests never pull
+        # device-resident geometry back through the tunnel (serving-v2)
+        import hashlib
+        _mh = hashlib.blake2b(digest_size=16)
+        for g in raw:
+            for a in (g["senders"], g["receivers"], g["edge_attr"]):
+                aa = np.asarray(a)
+                _mh.update(aa.tobytes())
+                _mh.update(str(aa.shape).encode())
+        mesh_hex = _mh.hexdigest()
+
         if self.num_partitions == 1:
             labels = np.zeros(len(x), dtype=int)
         else:
@@ -621,8 +633,20 @@ class PartitionScheduler:
             print("Latent space shape:", latent.shape)
             labels = np.asarray(self.classifier.cluster(latent), dtype=int)
 
+        # jit wrappers are CACHED on the scheduler: rebuilding jax.jit (and
+        # the lambdas inside) per predict() call made every warm request a
+        # jit cache miss — two re-traces + compilation-cache loads ~2.4 s on
+        # the relay (round-3 profile; the compiled executable was cached on
+        # disk but the load alone costs ~1.2 s each)
+        jits = self._predict_jits = getattr(self, "_predict_jits", {})
+
         stacked = stack_params(self.params_list) if self.num_partitions > 1 else None
-        routed = make_routed_apply(self.model) if self.num_partitions > 1 else None
+        routed = None
+        if self.num_partitions > 1:
+            rk = ("routed", self.model)
+            if rk not in jits:
+                jits[rk] = make_routed_apply(self.model)
+            routed = jits[rk]
 
         # inference-only: the 3D-einsum edge form is 2.6x faster than the
         # memory-slim 2D form and its padded transient is fine forward-only
@@ -653,7 +677,10 @@ class PartitionScheduler:
                                     edge_mask=merged.edge_mask)
             return out.reshape(b, n, -1)
 
-        trainer_like = jax.jit(single_expert)
+        tk = ("single_expert", infer_model)
+        if tk not in jits:
+            jits[tk] = jax.jit(single_expert)
+        trainer_like = jits[tk]
 
         # fused Pallas conv path (ops/fused_conv.py): per-edge matrices stay
         # VMEM-resident, scatter-mean as a dense MXU matmul — measured 2.85x
@@ -678,23 +705,17 @@ class PartitionScheduler:
             interp = fused_env == "force" and jax.default_backend() not in (
                 "tpu", "axon")
 
-            def fused_expert(params, chunk):
+            def fused_expert(params, chunk, ckey):
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from ..parallel.train import make_fused_shard_batches
 
                 b, n = chunk.x.shape[0], chunk.x.shape[1]
                 per = b // n_mesh_dev
-                send = np.asarray(chunk.senders)
-                recv = np.asarray(chunk.receivers)
-                ea = np.asarray(chunk.edge_attr)
-                em = np.asarray(chunk.edge_mask)
-                import hashlib
-
-                hsh = hashlib.blake2b(digest_size=16)
-                for a in (send, recv, ea, em):
-                    hsh.update(a.tobytes())
-                key = (hsh.hexdigest(), b, n, n_mesh_dev)
+                # ckey = raw mesh hash + chunk identity (host-side; hashing
+                # the chunk's device arrays here cost 4 tunnel fetches per
+                # warm request — round-3 serving-v2 lesson)
+                key = ("mc",) + ckey + (b, n, n_mesh_dev)
                 entry = self._fused_cache.get(key)
                 if entry is None:
                     host_chunk = jax.tree_util.tree_map(np.asarray, chunk)
@@ -729,35 +750,37 @@ class PartitionScheduler:
         elif use_fused:
             interp = fused_env == "force" and jax.default_backend() not in (
                 "tpu", "axon")
-            fused_jit = jax.jit(
-                lambda params, xm, ea_b, sp, sm, rows_blk, blk, shape:
-                infer_model.apply_fused(params, xm, ea_b, sp, sm,
-                                        rows_blk=rows_blk, blk=blk,
-                                        interpret=interp
-                                        ).reshape(shape),
-                static_argnums=(5, 6, 7))
+            fk = ("fused_predict", infer_model, interp)
+            if fk not in jits:
+                jits[fk] = jax.jit(
+                    lambda params, xm, ea_b, sp, sm, rows_blk, blk, shape:
+                    infer_model.apply_fused(params, xm, ea_b, sp, sm,
+                                            rows_blk=rows_blk, blk=blk,
+                                            interpret=interp
+                                            ).reshape(shape),
+                    static_argnums=(5, 6, 7))
+            fused_jit = jits[fk]
 
-            def fused_expert(params, chunk):
+            def fused_expert(params, chunk, ckey):
                 from ..core.graph import merge_batch
 
                 b, n = chunk.x.shape[0], chunk.x.shape[1]
                 merged, _ = merge_batch(chunk)
-                send = np.asarray(merged.senders)
-                recv = np.asarray(merged.receivers)
-                ea = np.asarray(merged.edge_attr)
-                em = np.asarray(merged.edge_mask)
                 # serving steady state: scatter blocks are graph-static and
-                # cost ~0.4 s/500k edges to build — content-hash the graph
-                # arrays and reuse device-resident operands across repeated
-                # predict() calls on the same mesh (BASELINE.md serving row)
-                import hashlib
-
-                h = hashlib.blake2b(digest_size=16)
-                for a in (send, recv, ea, em):
-                    h.update(a.tobytes())
-                key = (h.hexdigest(), merged.x.shape[0])
+                # cost ~0.4 s/500k edges to build.  The cache key is the RAW
+                # mesh hash + chunk identity computed host-side by the
+                # caller — hashing merged device arrays here cost one
+                # device->host tunnel fetch per array (~35 ms each) on EVERY
+                # warm request (round-3 serving-v2 lesson)
+                key = ("chunk",) + ckey + (b, n)
                 entry = self._fused_cache.get(key)
                 if entry is None:
+                    # one-time per (mesh, chunk): the 4 fetches below are
+                    # paid only on a cache miss
+                    send = np.asarray(merged.senders)
+                    recv = np.asarray(merged.receivers)
+                    ea = np.asarray(merged.edge_attr)
+                    em = np.asarray(merged.edge_mask)
                     ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
                         send, recv, ea, merged.x.shape[0], em)
                     ops = (jnp.asarray(ea_b), jnp.asarray(sp),
@@ -848,7 +871,11 @@ class PartitionScheduler:
                         idx = np.concatenate(
                             [idx, np.repeat(idx[-1:], chunk_b - real)])
                     chunk = jax.tree_util.tree_map(lambda a: a[idx], batch)
-                    out = np.asarray(fused_expert(self.params_list[k], chunk))
+                    ck = (mesh_hex, "r", k, start,
+                          hashlib.blake2b(idx.tobytes(),
+                                          digest_size=8).hexdigest())
+                    out = np.asarray(
+                        fused_expert(self.params_list[k], chunk, ck))
                     if preds is None:
                         preds = np.zeros((b_total,) + out.shape[1:],
                                          np.float32)
@@ -862,16 +889,20 @@ class PartitionScheduler:
             lab_j = jnp.asarray(lab)
             preds = _chunked(lambda c, s, e: routed(stacked, lab_j[s:e], c))
         elif use_fused:
-            preds = _chunked(lambda c, s, e: fused_expert(self.params_list[0], c))
+            preds = _chunked(lambda c, s, e: fused_expert(
+                self.params_list[0], c, (mesh_hex, "se", s, e)))
         else:
             preds = _chunked(lambda c, s, e: trainer_like(self.params_list[0], c))
         preds = preds[:real_b]
 
         # node weights (scheduler_gnn.py:222-226) — vectorized over the batch
-        weight_fn = jax.jit(jax.vmap(
-            lambda g, pred: compute_node_weight(
-                pred, g.y, g.senders, g.receivers, g.edge_attr,
-                pred.shape[0], g.edge_mask, g.node_mask)))
+        wk = ("weights",)
+        if wk not in jits:
+            jits[wk] = jax.jit(jax.vmap(
+                lambda g, pred: compute_node_weight(
+                    pred, g.y, g.senders, g.receivers, g.edge_attr,
+                    pred.shape[0], g.edge_mask, g.node_mask)))
+        weight_fn = jits[wk]
         trimmed = jax.tree_util.tree_map(lambda a: a[:real_b], batch)
         weights = np.asarray(weight_fn(trimmed, preds))
 
