@@ -167,6 +167,30 @@ def test_chunked_predict_bit_exact(trained, synth, monkeypatch):
             np.testing.assert_array_equal(a, b)
 
 
+def test_predict_reuses_jit_wrappers(trained, synth):
+    """Warm predict() must not rebuild its jax.jit wrappers per call.
+
+    Round-3 serving fix: fresh jit objects per request made every warm call
+    a jit cache miss (two re-traces + ~1.2 s compilation-cache loads on the
+    relay — the general path's 2.9 s floor).  Wrappers live in
+    ``_predict_jits`` keyed by the frozen model config; a second call on the
+    same scheduler must add no new entries, and the fused-operand cache must
+    be keyed so repeat meshes hit it (no per-request geometry fetches)."""
+    sched, model, _ = trained
+    x = synth.get_one_full_sample(0)
+
+    base, _, _, _ = sched.predict(x)
+    jits_after_first = dict(getattr(sched, "_predict_jits", {}))
+    cache_after_first = set(getattr(sched, "_fused_cache", {}).keys())
+    assert jits_after_first, "predict() should populate _predict_jits"
+
+    got, _, _, _ = sched.predict(x)
+    assert dict(sched._predict_jits) == jits_after_first  # same objects
+    assert set(sched._fused_cache.keys()) == cache_after_first
+    for a, b in zip(base, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_multichip_train_shards_batches(synth, tmp_path_factory, monkeypatch):
     """PartitionScheduler.train places every train/val batch across the mesh
     (the DDP epoch-loop analogue, scheduler_gnn.py:398-418) — round-1 gap:
