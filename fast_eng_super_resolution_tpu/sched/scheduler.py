@@ -481,16 +481,23 @@ class PartitionScheduler:
         from ..core.graph import merge_batch
 
         fused_env = os.environ.get("FESR_FUSED_PREDICT", "1")
-        ok = (self.num_partitions == 1 and self._single_device()
+        ok = (self._single_device()
               and hasattr(self, "params_list")
               and (jax.default_backend() in ("tpu", "axon")
                    or fused_env == "force")
               and fused_env != "0"
-              and hasattr(self.model, "apply_fused")
-              and getattr(self.model, "fused_ok", True)
               and all(d.get("global_node_ids") is not None for d in x)
               and all(d.get("field_scale") is None for d in x))
         if not ok:
+            return None
+        if self.num_partitions > 1:
+            # routed serving lane (round 3): the stacked-expert vmapped
+            # apply takes labels as DATA, so one program covers every
+            # routing pattern — no per-label-assignment recompiles like the
+            # label-grouped fused chunks would need
+            return self._predict_full_routed(x, num_nodes, fused_env)
+        if not (hasattr(self.model, "apply_fused")
+                and getattr(self.model, "fused_ok", True)):
             return None
         interp = fused_env == "force" and jax.default_backend() not in (
             "tpu", "axon")
@@ -597,6 +604,139 @@ class PartitionScheduler:
         ref_o = accr[:num_nodes] / ws[:num_nodes, None]
         if pred_o.shape == ref_o.shape:
             # one stacked output -> ONE device->host transfer per request
+            return jnp.stack([pred_o, ref_o])
+        return (pred_o, ref_o)
+
+    def _predict_full_routed(self, x: list[dict], num_nodes: int,
+                             fused_env: str):
+        """Routed (multi-expert) single-dispatch serving lane.
+
+        One jit covers routing + per-expert apply + overlap-average
+        reconstruction: the stacked-expert vmapped apply (parallel/dispatch)
+        takes the per-subdomain labels as DATA, so the program is
+        independent of the routing pattern and the graph geometry caches
+        exactly like the single-expert lane (raw-key, device-resident).
+        Uses the XLA edge path, not the fused Pallas kernel — at serving
+        mesh sizes the request is round-trip-bound, not compute-bound, and
+        a label-grouped fused variant would recompile per label assignment.
+        Reference analog: the routed 4-tuple predict, scheduler_gnn.py:228.
+        """
+        raw = [_as_raw_graph(d) for d in x]
+        spec = BucketSpec()
+        b = len(raw)
+        n_pad, e_pad = spec.bucket_for(
+            max(g["x"].shape[0] for g in raw),
+            max(g["senders"].shape[0] for g in raw))
+        if b * e_pad > int(os.environ.get("FESR_PREDICT_EDGE_BUDGET",
+                                          300_000)):
+            return None  # big meshes chunk through the general path
+
+        import dataclasses as _dc
+        infer_model = self.model
+        try:
+            replace = {}
+            if getattr(self.model, "mode", None) == "auto" and \
+                    jax.default_backend() == "tpu":
+                replace["mode"] = "edge3d"
+            if hasattr(self.model, "edges_sorted"):
+                replace["edges_sorted"] = True
+            if replace:
+                infer_model = _dc.replace(self.model, **replace)
+        except Exception:
+            pass
+
+        import hashlib
+        hsh = hashlib.blake2b(digest_size=16)
+        for g in raw:
+            for a in (g["senders"], g["receivers"], g["edge_attr"],
+                      g["global_ids"]):
+                aa = np.asarray(a)
+                hsh.update(aa.tobytes())
+                hsh.update(str(aa.shape).encode())
+        key = ("routedfull", hsh.hexdigest(), num_nodes, b * n_pad, e_pad)
+        entry = self._fused_cache.get(key)
+        if entry is None:
+            (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
+            if rest:
+                return None
+            nm = np.asarray(batch.node_mask).reshape(-1)
+            gids = np.asarray(batch.global_ids).reshape(-1)
+            gid_dump = np.where(nm & (gids >= 0), gids,
+                                np.int64(num_nodes)).astype(np.int32)
+            ops = (batch.senders, batch.receivers, batch.edge_attr,
+                   batch.edge_mask, jnp.asarray(gid_dump),
+                   jnp.asarray(nm.astype(np.float32)))
+            nbytes = sum(int(np.asarray(a).size) * 4 for a in ops)
+            budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES", 2 << 30))
+            entry = (ops, nbytes)
+            if nbytes <= budget:
+                self._fused_cache[key] = entry
+                total = sum(nb for _, nb in self._fused_cache.values())
+                while total > budget and len(self._fused_cache) > 1:
+                    old_key = next(iter(self._fused_cache))
+                    total -= self._fused_cache.pop(old_key)[1]
+        send_j, recv_j, ea_j, em_j, gid_j, w_j = entry[0]
+
+        # routing is payload-dependent — computed per request (host-side
+        # encoders/classifiers; labels enter the program as data)
+        latent = self.encoder.get_latent_space(x)
+        labels = np.asarray(self.classifier.cluster(latent), dtype=np.int32)
+
+        stk = getattr(self, "_stacked_cache", None)
+        if stk is None or stk[0] is not self.params_list:
+            self._stacked_cache = stk = (self.params_list,
+                                         stack_params(self.params_list))
+        stacked = stk[1]
+
+        c_in = raw[0]["x"].shape[1]
+        y0 = raw[0]["y"]
+        c_out = y0.shape[1] if y0 is not None else c_in
+        xb = np.zeros((b, n_pad, c_in), np.float32)
+        yb = np.zeros((b, n_pad, c_out), np.float32)
+        for i, g in enumerate(raw):
+            n_i = g["x"].shape[0]
+            xb[i, :n_i] = g["x"]
+            if g["y"] is not None:
+                yb[i, :n_i] = g["y"]
+
+        jits = self._predict_jits = getattr(self, "_predict_jits", {})
+        rk = ("routed_full", infer_model)
+        if rk not in jits:
+            jits[rk] = jax.jit(
+                lambda stacked, labels, xb, yb, s, r, a, m, gid, w, nn:
+                self._serve_body_routed(infer_model, stacked, labels, xb,
+                                        yb, s, r, a, m, gid, w, nn),
+                static_argnums=(10,))
+        out = jits[rk](stacked, labels, xb, yb, send_j, recv_j, ea_j, em_j,
+                       gid_j, w_j, num_nodes)
+        if isinstance(out, tuple):  # pred/ref channel counts differ
+            return np.asarray(out[0]), np.asarray(out[1])
+        o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
+        return o[0], o[1]
+
+    @staticmethod
+    def _serve_body_routed(infer_model, stacked, labels, xb, yb, s, r, a,
+                           m, gid, w, num_nodes):
+        from ..parallel.dispatch import select_expert
+
+        def per_graph(idx, x_g, s_g, r_g, a_g, m_g):
+            params = select_expert(stacked, idx)
+            return infer_model.apply(params, x_g, s_g, r_g, a_g,
+                                     edge_mask=m_g)
+
+        pred = jax.vmap(per_graph)(labels, xb, s, r, a, m)  # [B, N, C]
+        predf = pred.reshape(-1, pred.shape[-1])
+        ymf = yb.reshape(-1, yb.shape[-1])
+        wc = w[:, None]
+        accp = jax.ops.segment_sum(predf * wc, gid,
+                                   num_segments=num_nodes + 1)
+        accr = jax.ops.segment_sum(ymf * wc, gid,
+                                   num_segments=num_nodes + 1)
+        ws = jnp.maximum(
+            jax.ops.segment_sum(w, gid, num_segments=num_nodes + 1), 1e-30)
+        pred_o = accp[:num_nodes] / ws[:num_nodes, None]
+        ref_o = accr[:num_nodes] / ws[:num_nodes, None]
+        if pred_o.shape == ref_o.shape:
             return jnp.stack([pred_o, ref_o])
         return (pred_o, ref_o)
 

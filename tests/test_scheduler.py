@@ -343,6 +343,60 @@ def test_routed_fused_predict_matches_xla(synth, tmp_path_factory, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_routed_predict_full_matches_general(synth, tmp_path_factory,
+                                             monkeypatch):
+    """Routed single-dispatch serving lane == general routed path +
+    host overlap_average (same segment-mean math, one program)."""
+    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.classifiers import KMeansClassifier
+    from fast_eng_super_resolution_tpu.sched.encoders import PCAEncoder
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_rfull"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("rfull_cpu", 2, synth, model, train=True,
+                               encoder=PCAEncoder(n_components=2),
+                               classifier=KMeansClassifier(2),
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=1, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    x = synth.get_one_full_sample(0)
+    num_nodes = int(max(int(np.max(d["global_node_ids"])) for d in x)) + 1
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")  # fast lanes on CPU
+    out = sched.predict_full(x, num_nodes)
+    assert out is not None, "routed fast lane should engage"
+    pred_fast, ref_fast = out
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "0")
+    pred_l, ref_l, _, _ = sched.predict(x)
+    gids = [d["global_node_ids"] for d in x]
+    # predict_full implements the exact segment MEAN (GraphDataset.py:1396),
+    # i.e. unweighted overlap averaging — same contract as the
+    # single-expert lane
+    pred_gen = overlap_average(pred_l, gids, num_nodes)
+    ref_gen = overlap_average(ref_l, gids, num_nodes)
+
+    rel = (np.abs(pred_fast - pred_gen).max()
+           / (np.abs(pred_gen).max() + 1e-9))
+    assert rel < 2e-5, rel
+    # reference stitching: weights differ by design (the general path's
+    # overlap_average of refs is unweighted) — still a segment mean of
+    # identical per-subdomain refs, so values agree
+    rel_r = (np.abs(ref_fast - ref_gen).max()
+             / (np.abs(ref_gen).max() + 1e-9))
+    assert rel_r < 2e-5, rel_r
+
+    # warm repeat: no new jit wrappers, cache hit on the routed key
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    jits_before = dict(sched._predict_jits)
+    out2 = sched.predict_full(x, num_nodes)
+    np.testing.assert_array_equal(pred_fast, out2[0])
+    assert dict(sched._predict_jits) == jits_before
+
+
 def test_multichip_train_fused_shard_map_impl(synth, tmp_path_factory,
                                               monkeypatch):
     """FESR_STEP_IMPL=shard_map_fused: multi-device training runs the fused
