@@ -473,6 +473,43 @@ def test_fused_predict_block_cache(synth, tmp_path_factory, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_predict_full_cache_rotation_stays_correct(synth, tmp_path_factory,
+                                                   monkeypatch):
+    """Alternating meshes under a tiny FESR_FUSED_CACHE_BYTES budget: FIFO
+    eviction churns on every request, results must equal the cached run.
+
+    Guards the round-3 eviction + raw-key changes: a key collision or a
+    stale-entry reuse across meshes would silently serve wrong fields."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_rot"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("rot_cpu", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=1, batch_size=16, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    x0 = synth.get_one_full_sample(0)
+    x1 = synth.get_one_full_sample(1)
+    n0 = int(max(int(np.max(d["global_node_ids"])) for d in x0)) + 1
+    n1 = int(max(int(np.max(d["global_node_ids"])) for d in x1)) + 1
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    base0 = sched.predict_full(x0, n0)
+    base1 = sched.predict_full(x1, n1)
+    assert base0 is not None and base1 is not None
+
+    sched._fused_cache.clear()
+    monkeypatch.setenv("FESR_FUSED_CACHE_BYTES", "1")  # nothing fits
+    for _ in range(2):
+        got0 = sched.predict_full(x0, n0)
+        got1 = sched.predict_full(x1, n1)
+        np.testing.assert_array_equal(base0[0], got0[0])
+        np.testing.assert_array_equal(base1[0], got1[0])
+    assert not sched._fused_cache  # budget 1 byte: nothing cached
+
+
 def test_multichip_fused_predict_matches_xla(trained, synth, monkeypatch):
     """Fused predict on a multi-device mesh (round 3, VERDICT #3): per-device
     merged groups + shard_map forward (Pallas interpret on CPU) must match
