@@ -47,6 +47,11 @@ def main():
                         help="latency does not need a converged model")
     parser.add_argument("--sizes", default="12x6x6",
                         help="comma-separated fine-mesh dims to sweep")
+    parser.add_argument("--experts", type=int, default=1,
+                        help=">1 measures the ROUTED serving lane "
+                             "(PCA encoder + k-means routing; labels enter "
+                             "the serve program as data).  Measured round 3: "
+                             "p50 35 ms at 2 experts, 432-node mesh")
     args = parser.parse_args()
 
     from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
@@ -61,8 +66,15 @@ def main():
                      ker_in=1, in_width=4, out_width=4)
     cfg = dict(epochs=args.epochs, batch_size=16, lr=1e-3, step_size=30,
                gamma=0.1, log_interval=10, val_interval=1)
-    sched = PartitionScheduler("serving_bench", 1, ds, model, train=True,
-                               log_dir="/tmp/fesr_serving_logs")
+    kw = {}
+    if args.experts > 1:
+        from fast_eng_super_resolution_tpu.sched.classifiers import KMeansClassifier
+        from fast_eng_super_resolution_tpu.sched.encoders import PCAEncoder
+        kw = dict(encoder=PCAEncoder(n_components=2),
+                  classifier=KMeansClassifier(args.experts))
+    sched = PartitionScheduler("serving_bench", args.experts, ds, model,
+                               train=True, log_dir="/tmp/fesr_serving_logs",
+                               **kw)
     sched.train(cfg)
 
     for dims in sizes:
