@@ -556,5 +556,8 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "advected_grid":
         from .grid_dataset import AdvectedScalarDataset
         return AdvectedScalarDataset(root=root, **kwargs)
+    elif name == "darcy_grid":
+        from .grid_dataset import DarcyFlowDataset
+        return DarcyFlowDataset(root=root, **kwargs)
     else:
         raise ValueError(f"Invalid dataset name: {name}")

@@ -176,6 +176,133 @@ class AdvectedScalarDataset:
         return {"x": self.x[i], "y": self.y[i]}
 
 
+def _grf_threshold_coeff(n: int, rng: np.random.Generator,
+                         tau: float = 3.0, alpha: float = 2.0,
+                         hi: float = 12.0, lo: float = 3.0) -> np.ndarray:
+    """Piecewise-constant permeability field: a Gaussian random field with
+    covariance ``(-lap + tau^2)^(-alpha)`` (spectral synthesis on the
+    periodic grid), mean-centered and thresholded — the standard Darcy
+    coefficient construction (values ``hi`` where the GRF is positive,
+    ``lo`` elsewhere)."""
+    k = np.fft.fftfreq(n, 1.0 / n)
+    k2 = k[:, None] ** 2 + k[None, :] ** 2
+    filt = (4.0 * np.pi ** 2 * k2 + tau ** 2) ** (-alpha)
+    noise = rng.normal(size=(n, n))
+    grf = np.fft.ifft2(np.fft.fft2(noise) * filt).real
+    grf -= grf.mean()
+    return np.where(grf >= 0.0, hi, lo).astype(np.float32)
+
+
+def solve_darcy(a: np.ndarray, f=1.0) -> np.ndarray:
+    """Finite-volume solve of ``-div(a grad u) = f`` on the unit square with
+    homogeneous Dirichlet walls; ``a`` holds [n, n] cell-centered
+    coefficients, ``f`` a scalar or [n, n] source.  Harmonic-mean face
+    transmissibilities (the conservative scheme for discontinuous
+    coefficients); boundary faces use the half-cell distance (T = 2a).
+    Direct sparse solve — the matrix is SPD and small (n<=256 -> <=65k
+    unknowns), host-side ETL like the mesh partitioner."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    a = np.asarray(a, np.float64)
+    n = a.shape[0]
+    h = 1.0 / n
+    idx = np.arange(n * n).reshape(n, n)
+
+    def harm(a1, a2):
+        return 2.0 * a1 * a2 / (a1 + a2)
+
+    diag = np.zeros((n, n))
+    rows, cols, vals = [], [], []
+    # interior faces along each axis: off-diagonal -T, both diagonals +T
+    for axis in (0, 1):
+        lo_sl = (slice(None, -1), slice(None)) if axis == 0 else (slice(None), slice(None, -1))
+        hi_sl = (slice(1, None), slice(None)) if axis == 0 else (slice(None), slice(1, None))
+        t = harm(a[lo_sl], a[hi_sl])
+        diag[lo_sl] += t
+        diag[hi_sl] += t
+        rows.append(idx[lo_sl].ravel())
+        cols.append(idx[hi_sl].ravel())
+        vals.append(-t.ravel())
+        rows.append(idx[hi_sl].ravel())
+        cols.append(idx[lo_sl].ravel())
+        vals.append(-t.ravel())
+    # Dirichlet walls: ghost value 0 at half-cell distance -> T = 2a
+    for edge in (idx[0], idx[-1], idx[:, 0], idx[:, -1]):
+        diag.ravel()[edge] += 2.0 * a.ravel()[edge]
+    rows.append(idx.ravel())
+    cols.append(idx.ravel())
+    vals.append(diag.ravel())
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n * n, n * n)) / (h * h)
+    b = np.broadcast_to(np.asarray(f, np.float64), (n, n)).ravel()
+    u = spla.spsolve(A, b)
+    return u.reshape(n, n).astype(np.float32)
+
+
+def darcy_pair(n: int, rng: np.random.Generator,
+               factor: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """One Darcy-flow super-resolution pair.
+
+    The canonical neural-operator steady-state task (the FNO paper's Darcy
+    benchmark), cast in this framework's super-resolution structure: the
+    same thresholded-GRF permeability field is solved on the fine grid
+    (truth) and on a ``factor``x coarser grid (the cheap simulation), and
+    the model maps (bilinearly upsampled coarse solution, fine-grid
+    coefficients) -> fine solution.  Unlike the advected task the fields are
+    steady and the difficulty lives at the coefficient discontinuities,
+    where the coarse solve smears the interface layers.
+
+    Returns (x [n, n, 2], y [n, n, 1]) float32: x channels are the upsampled
+    coarse solution (channel 0 — the improvement baseline, like every other
+    dataset's interpolated input) and the normalized coefficient field.
+    """
+    a = _grf_threshold_coeff(n, rng)
+    fine = solve_darcy(a)
+    m = n // factor
+    coarse = solve_darcy(a[::factor, ::factor])
+    # periodic _bilinear_sample would wrap the non-periodic walls; clamp the
+    # query instead (cell-centered grids: coarse cell k spans fine cells
+    # k*factor..k*factor+factor-1, centers offset by (factor-1)/2)
+    q = (np.arange(n) - (factor - 1) / 2.0) / factor
+    q = np.clip(q, 0.0, m - 1.0)
+    gxq, gyq = np.meshgrid(q, q, indexing="ij")
+    up = _bilinear_sample(coarse, gxq, gyq)
+    scale = np.abs(fine).max() + 1e-12
+    a_norm = (a - (a.max() + a.min()) / 2.0) / (a.max() - a.min() + 1e-12)
+    x = np.stack([up / scale, a_norm], axis=-1).astype(np.float32)
+    y = (fine / scale)[..., None].astype(np.float32)
+    return x, y
+
+
+class DarcyFlowDataset:
+    """Steady-state Darcy-flow grid workload (see darcy_pair).  Same access
+    API as the other grid datasets; cached under root/processed."""
+
+    def __init__(self, root: str, num_samples: int = 128, resolution: int = 64,
+                 downsample: int = 4, seed: int = 0, **kwargs):
+        self.root = root
+        path = os.path.join(root, "processed", "darcy_data.npz")
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            rng = np.random.default_rng(seed)
+            xs, ys = [], []
+            for _ in range(num_samples):
+                lo, hi = darcy_pair(resolution, rng, factor=downsample)
+                xs.append(lo)
+                ys.append(hi)
+            np.savez(path, x=np.stack(xs), y=np.stack(ys))
+        with np.load(path) as z:
+            self.x, self.y = z["x"], z["y"]
+
+    def __len__(self):
+        return len(self.x)
+
+    def __getitem__(self, i):
+        return {"x": self.x[i], "y": self.y[i]}
+
+
 class TurbulenceGridDataset:
     """Paired (upsampled-coarse, fine) snapshots on a regular grid.
 

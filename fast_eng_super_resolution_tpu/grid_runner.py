@@ -156,7 +156,10 @@ def pred_grid(idxs, exp_name: str, model, dataset, exp_config: dict,
         x, y = s["x"][None], s["y"][None]
         with span("Prediction"):
             pred = np.asarray(trainer.predict(params, x))
-        mse_base = float(((x - y) ** 2).mean())
+        # inputs may carry auxiliary channels after the field channels
+        # (e.g. the Darcy coefficient field); the improvement baseline is
+        # the interpolated field alone, like every mesh dataset's
+        mse_base = float(((x[..., : y.shape[-1]] - y) ** 2).mean())
         mse_pred = float(((pred - y) ** 2).mean())
         factor = mse_base / max(mse_pred, 1e-30)
         out_path = os.path.join(out_dir, f"pred_{idx}.npz")

@@ -134,3 +134,56 @@ def test_spectral_matmul_too_small_raises():
     x = jax.numpy.zeros((1, 2, 20, 24))  # H < 2*m1
     with _pytest.raises(ValueError, match="too small"):
         _spectral_conv_matmul(p, x, 12, 12)
+
+
+def test_darcy_solver_manufactured_solution():
+    """Constant-coefficient solve converges to the analytic Poisson solution
+    u = sin(pi x) sin(pi y) (f = 2 pi^2 a u) at cell centers, and the error
+    shrinks with resolution."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import solve_darcy
+
+    errs = []
+    for n in (16, 32):
+        a = np.full((n, n), 2.0)
+        xc = (np.arange(n) + 0.5) / n
+        exact = np.sin(np.pi * xc)[:, None] * np.sin(np.pi * xc)[None, :]
+        u = solve_darcy(a, f=2.0 * np.pi ** 2 * 2.0 * exact)
+        errs.append(float(np.abs(u - exact).max() / exact.max()))
+    assert errs[0] < 0.05 and errs[1] < errs[0], errs
+
+
+def test_darcy_pair_and_dataset(tmp_path):
+    """Darcy pairs: correct shapes, positive interior solution, coarse
+    channel correlated with (but smoother than) the fine truth, coefficient
+    channel binary; dataset caches and round-trips."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        DarcyFlowDataset, darcy_pair)
+
+    rng = np.random.default_rng(0)
+    x, y = darcy_pair(32, rng, factor=4)
+    assert x.shape == (32, 32, 2) and y.shape == (32, 32, 1)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    assert y.max() <= 1.0 + 1e-6 and y.min() >= 0.0  # normalized, positive
+    assert set(np.round(np.unique(x[..., 1]), 3)) == {-0.5, 0.5}
+    cc = np.corrcoef(x[..., 0].ravel(), y[..., 0].ravel())[0, 1]
+    assert cc > 0.8, cc  # coarse solve is a strong but imperfect baseline
+    base_mse = float(((x[..., 0] - y[..., 0]) ** 2).mean())
+    assert base_mse > 1e-6  # room for the model to improve
+
+    ds = DarcyFlowDataset(str(tmp_path), num_samples=3, resolution=16,
+                          downsample=4)
+    assert len(ds) == 3 and ds[1]["x"].shape == (16, 16, 2)
+    ds2 = DarcyFlowDataset(str(tmp_path), num_samples=3, resolution=16)
+    assert np.array_equal(ds2[1]["x"], ds[1]["x"])  # served from cache
+
+
+def test_darcy_factory_and_pred_baseline(tmp_path):
+    """darcy_grid factory name resolves; pred_grid's improvement baseline
+    uses only the field channels when inputs carry aux channels (the
+    coefficient field)."""
+    from fast_eng_super_resolution_tpu.data.dataset import init_dataset
+
+    ds = init_dataset("darcy_grid", str(tmp_path), num_samples=2,
+                      resolution=16, downsample=4)
+    s = ds[0]
+    assert s["x"].shape[-1] == 2 and s["y"].shape[-1] == 1
