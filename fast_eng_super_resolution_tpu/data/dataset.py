@@ -559,5 +559,8 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "darcy_grid":
         from .grid_dataset import DarcyFlowDataset
         return DarcyFlowDataset(root=root, **kwargs)
+    elif name == "ns_grid":
+        from .grid_dataset import NavierStokesDataset
+        return NavierStokesDataset(root=root, **kwargs)
     else:
         raise ValueError(f"Invalid dataset name: {name}")

@@ -276,6 +276,130 @@ def darcy_pair(n: int, rng: np.random.Generator,
     return x, y
 
 
+def _low_mode_vorticity(n: int, rng: np.random.Generator,
+                        max_mode: int = 3) -> np.ndarray:
+    """Random initial vorticity exciting only Fourier modes |k| <= max_mode,
+    so the SAME field is exactly representable on any coarse grid with
+    Nyquist above max_mode — subsampling the fine IC IS the coarse IC (the
+    learnability precondition, same trick as _solenoidal_low_mode_velocity)."""
+    w_hat = np.zeros((n, n), np.complex128)
+    for kx in range(-max_mode, max_mode + 1):
+        for ky in range(-max_mode, max_mode + 1):
+            if kx == 0 and ky == 0:
+                continue
+            w_hat[kx % n, ky % n] = (rng.normal() + 1j * rng.normal())
+    w = np.fft.ifft2(w_hat).real
+    return w / (np.abs(w).max() + 1e-12)
+
+
+def simulate_ns_vorticity(w0: np.ndarray, t_end: float = 5.0,
+                          nu: float = 1e-3, dt: float = 5e-3,
+                          forcing_amp: float = 0.1) -> np.ndarray:
+    """Pseudo-spectral 2D incompressible Navier-Stokes in vorticity form on
+    the periodic unit square: dw/dt + u.grad(w) = nu lap(w) + f, with the
+    standard fixed forcing f = amp (sin(2pi(x+y)) + cos(2pi(x+y))).
+
+    Heun (RK2) on the dealiased advection term, exact integrating factor for
+    viscosity — unconditionally stable in the stiff diffusive part; dt obeys
+    the advective CFL for the O(1)-velocity regime this task generates.
+    Host-side ETL (numpy FFT), like every other generator here.
+    """
+    n = w0.shape[0]
+    k = 2.0 * np.pi * np.fft.fftfreq(n, 1.0 / n)
+    kx = k[:, None]
+    ky = k[None, :]
+    k2 = kx ** 2 + ky ** 2
+    k2_inv = np.where(k2 > 0, 1.0 / np.maximum(k2, 1e-12), 0.0)
+    dealias = ((np.abs(np.fft.fftfreq(n, 1.0 / n))[:, None] < n / 3)
+               & (np.abs(np.fft.fftfreq(n, 1.0 / n))[None, :] < n / 3))
+    # node grid x_i = i/n — the FFT's implicit sample positions, so the
+    # coarse and fine runs sample the SAME continuous forcing (a
+    # half-cell-offset grid would shift the forcing differently per
+    # resolution and break the coarse/fine correspondence)
+    xs = np.arange(n) / n
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    f_hat = np.fft.fft2(forcing_amp * (np.sin(2 * np.pi * (gx + gy))
+                                       + np.cos(2 * np.pi * (gx + gy))))
+
+    def rhs_advect(w_hat):
+        psi_hat = w_hat * k2_inv
+        u = np.fft.ifft2(1j * ky * psi_hat).real       # u =  d(psi)/dy
+        v = np.fft.ifft2(-1j * kx * psi_hat).real      # v = -d(psi)/dx
+        wx = np.fft.ifft2(1j * kx * w_hat).real
+        wy = np.fft.ifft2(1j * ky * w_hat).real
+        adv_hat = np.fft.fft2(u * wx + v * wy) * dealias
+        return -adv_hat + f_hat
+
+    w_hat = np.fft.fft2(np.asarray(w0, np.float64))
+    visc = np.exp(-nu * k2 * dt)  # exact integrating factor exp(L dt)
+    steps = int(round(t_end / dt))
+    for _ in range(steps):
+        # ETD-Heun: w+ = E w + dt/2 (E N(w) + N(E (w + dt N(w))))
+        n1 = rhs_advect(w_hat)
+        w_pred = (w_hat + dt * n1) * visc
+        n2 = rhs_advect(w_pred)
+        w_hat = w_hat * visc + 0.5 * dt * (n1 * visc + n2)
+    return np.fft.ifft2(w_hat).real.astype(np.float32)
+
+
+def ns_vorticity_pair(n: int, rng: np.random.Generator, factor: int = 4,
+                      t_end: float = 5.0, nu: float = 1e-4, amp: float = 3.0,
+                      dt: float = 5e-3) -> tuple[np.ndarray, np.ndarray]:
+    """One Navier-Stokes super-resolution pair (the third canonical
+    neural-operator task, after advection and Darcy).
+
+    The same low-mode initial vorticity is evolved on the fine grid and on a
+    ``factor``x coarser grid (which under-resolves the advective cascade);
+    the model maps (bilinearly upsampled coarse solution, initial vorticity)
+    -> fine solution.  Including the IC channel keeps the target a
+    deterministic function of the inputs even where the coarse solve has
+    lost information (same construction as darcy_pair's coefficient
+    channel).  Returns (x [n, n, 2], y [n, n, 1]) float32.
+    """
+    w0 = _low_mode_vorticity(n, rng) * amp
+    fine = simulate_ns_vorticity(w0, t_end=t_end, nu=nu, dt=dt)
+    coarse = simulate_ns_vorticity(w0[::factor, ::factor], t_end=t_end,
+                                   nu=nu, dt=dt)
+    # node grids (x_i = i/n): fine node i sits at coarse coordinate i/factor
+    q = np.arange(n) / factor
+    gxq, gyq = np.meshgrid(q, q, indexing="ij")  # _bilinear_sample is periodic
+    up = _bilinear_sample(coarse, gxq, gyq)
+    scale = np.abs(fine).max() + 1e-12
+    x = np.stack([up / scale, w0 / scale], axis=-1).astype(np.float32)
+    y = (fine / scale)[..., None].astype(np.float32)
+    return x, y
+
+
+class NavierStokesDataset:
+    """Decaying/forced 2D turbulence vorticity workload (see
+    ns_vorticity_pair).  Same access API as the other grid datasets; cached
+    under root/processed."""
+
+    def __init__(self, root: str, num_samples: int = 128, resolution: int = 64,
+                 downsample: int = 4, t_end: float = 5.0, nu: float = 1e-4,
+                 amp: float = 3.0, seed: int = 0, **kwargs):
+        self.root = root
+        path = os.path.join(root, "processed", "ns_data.npz")
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            rng = np.random.default_rng(seed)
+            xs, ys = [], []
+            for _ in range(num_samples):
+                lo, hi = ns_vorticity_pair(resolution, rng, factor=downsample,
+                                           t_end=t_end, nu=nu, amp=amp)
+                xs.append(lo)
+                ys.append(hi)
+            np.savez(path, x=np.stack(xs), y=np.stack(ys))
+        with np.load(path) as z:
+            self.x, self.y = z["x"], z["y"]
+
+    def __len__(self):
+        return len(self.x)
+
+    def __getitem__(self, i):
+        return {"x": self.x[i], "y": self.y[i]}
+
+
 class DarcyFlowDataset:
     """Steady-state Darcy-flow grid workload (see darcy_pair).  Same access
     API as the other grid datasets; cached under root/processed."""

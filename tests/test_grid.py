@@ -187,3 +187,43 @@ def test_darcy_factory_and_pred_baseline(tmp_path):
                       resolution=16, downsample=4)
     s = ds[0]
     assert s["x"].shape[-1] == 2 and s["y"].shape[-1] == 1
+
+
+def test_ns_solver_physics():
+    """Pseudo-spectral NS: inviscid unforced advection conserves enstrophy
+    (dealiased scheme, ~1e-6); viscosity decays it."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        _low_mode_vorticity, simulate_ns_vorticity)
+
+    rng = np.random.default_rng(0)
+    w0 = _low_mode_vorticity(32, rng)
+    w1 = simulate_ns_vorticity(w0, t_end=0.5, nu=0.0, forcing_amp=0.0)
+    r = float((w1 ** 2).mean() / (w0 ** 2).mean())
+    assert abs(r - 1.0) < 1e-4, r
+    w2 = simulate_ns_vorticity(w0, t_end=0.5, nu=1e-2, forcing_amp=0.0)
+    assert float((w2 ** 2).mean()) < 0.8 * float((w0 ** 2).mean())
+
+
+def test_ns_pair_and_dataset(tmp_path):
+    """NS pairs: correct shapes, coarse channel correlated-but-imperfect
+    (genuine super-resolution headroom), IC channel low-mode; dataset
+    caches; factory name resolves."""
+    from fast_eng_super_resolution_tpu.data.dataset import init_dataset
+    from fast_eng_super_resolution_tpu.data.grid_dataset import ns_vorticity_pair
+
+    rng = np.random.default_rng(0)
+    x, y = ns_vorticity_pair(32, rng, factor=4, t_end=1.0, dt=1e-2)
+    assert x.shape == (32, 32, 2) and y.shape == (32, 32, 1)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    cc = np.corrcoef(x[..., 0].ravel(), y[..., 0].ravel())[0, 1]
+    assert cc > 0.5, cc
+    assert float(((x[..., 0] - y[..., 0]) ** 2).mean()) > 1e-5
+    # IC channel is spectrally low-mode: no energy above mode 3
+    ic_hat = np.fft.fft2(x[..., 1])
+    k = np.abs(np.fft.fftfreq(32, 1.0 / 32))
+    hi_mask = (k[:, None] > 3.5) | (k[None, :] > 3.5)
+    assert np.abs(ic_hat[hi_mask]).max() < 1e-3 * np.abs(ic_hat).max()
+
+    ds = init_dataset("ns_grid", str(tmp_path), num_samples=2, resolution=16,
+                      t_end=0.5)
+    assert len(ds) == 2 and ds[0]["x"].shape == (16, 16, 2)
