@@ -255,7 +255,37 @@ def bench_torch_baseline(raw, params, model) -> float:
     return g["x"].shape[0] / best
 
 
+def backend_available(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a subprocess with a hard timeout.
+
+    The axon relay occasionally goes unresponsive; in-process
+    ``jax.devices()`` then blocks forever and the bench (and whatever driver
+    invoked it) stalls.  A throwaway subprocess inherits the same platform
+    selection, so a successful probe means the in-process init will succeed
+    too (and warms the relay connection).  On CPU the probe is ~2 s.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not backend_available():
+        # Honest failure record instead of a driver-stalling hang: the
+        # configured accelerator backend did not initialize within the
+        # timeout (relay outage).  No CPU fallback number — a CPU datapoint
+        # under the same metric name would be misleading.
+        print(json.dumps({
+            "metric": "subdomain_inference_throughput", "value": 0.0,
+            "unit": "nodes/sec/chip", "vs_baseline": 0.0,
+            "error": "backend init timed out (axon relay unavailable)"}))
+        return
     raw, batch, real_nodes = build_workload()
     jax_tput, params, model = bench_jax(batch, real_nodes)
     try:
