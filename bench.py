@@ -255,7 +255,7 @@ def bench_torch_baseline(raw, params, model) -> float:
     return g["x"].shape[0] / best
 
 
-def backend_available(timeout_s: float = 240.0) -> bool:
+def backend_available(timeout_s: float = 240.0) -> str | None:
     """Probe backend init in a subprocess with a hard timeout.
 
     The axon relay occasionally goes unresponsive; in-process
@@ -263,6 +263,11 @@ def backend_available(timeout_s: float = 240.0) -> bool:
     invoked it) stalls.  A throwaway subprocess inherits the same platform
     selection, so a successful probe means the in-process init will succeed
     too (and warms the relay connection).  On CPU the probe is ~2 s.
+
+    Returns None when the backend is up, else a diagnostic string that
+    distinguishes a hang (timeout) from a fast failure (nonzero exit, with
+    the probe's stderr tail — a fast failure is usually a broken env, not a
+    relay outage).
     """
     import subprocess
 
@@ -270,21 +275,23 @@ def backend_available(timeout_s: float = 240.0) -> bool:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return f"backend init timed out after {timeout_s:.0f}s (relay hang)"
+    if r.returncode == 0:
+        return None
+    tail = r.stderr.decode(errors="replace").strip().splitlines()[-3:]
+    return "backend init failed fast: " + " | ".join(tail)
 
 
 def main():
-    if not backend_available():
-        # Honest failure record instead of a driver-stalling hang: the
-        # configured accelerator backend did not initialize within the
-        # timeout (relay outage).  No CPU fallback number — a CPU datapoint
-        # under the same metric name would be misleading.
+    err = backend_available()
+    if err is not None:
+        # Honest failure record instead of a driver-stalling hang.  No CPU
+        # fallback number — a CPU datapoint under the same metric name
+        # would be misleading.
         print(json.dumps({
             "metric": "subdomain_inference_throughput", "value": 0.0,
-            "unit": "nodes/sec/chip", "vs_baseline": 0.0,
-            "error": "backend init timed out (axon relay unavailable)"}))
+            "unit": "nodes/sec/chip", "vs_baseline": 0.0, "error": err}))
         return
     raw, batch, real_nodes = build_workload()
     jax_tput, params, model = bench_jax(batch, real_nodes)

@@ -26,7 +26,9 @@ steps; random-phase data plateaus at 1.0x by construction).
 
 from __future__ import annotations
 
+import json
 import os
+import warnings
 
 import numpy as np
 
@@ -78,6 +80,22 @@ def _bilinear_sample(field: np.ndarray, xq: np.ndarray, yq: np.ndarray) -> np.nd
             + field[x0, y1] * (1 - fx) * fy + field[x1, y1] * fx * fy)
 
 
+def _check_coarse_nyquist(n: int, factor: int, max_mode: int) -> None:
+    """The learnability precondition of the low-mode tasks is that the
+    coarse grid exactly represents every excited mode: subsampling the fine
+    IC/velocity IS the coarse one.  A coarse grid of m = n//factor points
+    resolves real modes up to m//2 exclusive of aliasing only when
+    m > 2*max_mode; below that, subsampling aliases mode +-max_mode onto a
+    lower mode and the coarse run silently evolves a DIFFERENT flow."""
+    m = n // factor
+    if m <= 2 * max_mode:
+        raise ValueError(
+            f"coarse grid {m}x{m} (resolution {n} / downsample {factor}) "
+            f"aliases the excited modes |k| <= {max_mode}; need "
+            f"resolution // downsample > {2 * max_mode} (lower max_mode or "
+            "the downsample factor)")
+
+
 def _solenoidal_low_mode_velocity(n: int, rng: np.random.Generator,
                                   max_mode: int = 3) -> np.ndarray:
     """Steady large-scale incompressible velocity from a few random low
@@ -100,7 +118,8 @@ def _solenoidal_low_mode_velocity(n: int, rng: np.random.Generator,
 
 
 def advected_scalar_pair(n: int, rng: np.random.Generator, factor: int = 4,
-                         steps: int = 40, dt: float = 0.02) -> tuple[np.ndarray, np.ndarray]:
+                         steps: int = 40, dt: float = 0.02,
+                         max_mode: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """One (coarse-run upsampled, fine-run) scalar pair from the SAME initial
     condition and the SAME resolved velocity field.
 
@@ -112,6 +131,7 @@ def advected_scalar_pair(n: int, rng: np.random.Generator, factor: int = 4,
     super-resolution target (unlike random-phase spectra, see module
     docstring CAVEAT).  Returns (x, y), each [n, n, 1] float32.
     """
+    _check_coarse_nyquist(n, factor, max_mode)
     # shared smooth initial condition: a few Gaussian blobs
     grid = np.arange(n)
     gx, gy = np.meshgrid(grid, grid, indexing="ij")
@@ -122,7 +142,7 @@ def advected_scalar_pair(n: int, rng: np.random.Generator, factor: int = 4,
         dx = np.minimum(np.abs(gx - cx), n - np.abs(gx - cx))
         dy = np.minimum(np.abs(gy - cy), n - np.abs(gy - cy))
         theta0 += rng.random() * np.exp(-(dx ** 2 + dy ** 2) / (2 * s * s))
-    vel = _solenoidal_low_mode_velocity(n, rng)
+    vel = _solenoidal_low_mode_velocity(n, rng, max_mode=max_mode)
 
     def run(field, velocity, m, nsteps):
         xq0, yq0 = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
@@ -147,33 +167,68 @@ def advected_scalar_pair(n: int, rng: np.random.Generator, factor: int = 4,
            (fine[..., None] / scale).astype(np.float32)
 
 
-class AdvectedScalarDataset:
-    """Learnable grid super-resolution workload: coarse-run vs fine-run
-    advected scalars (see advected_scalar_pair).  Same access API as
-    TurbulenceGridDataset; cached under root/processed."""
+class _CachedGridDataset:
+    """Shared base for the grid-family datasets: generate ``num_samples``
+    pairs from one seeded RNG, cache as npz under ``root/processed``, serve
+    dict samples (``__getitem__`` -> {'x': [n, n, Cin], 'y': [n, n, Cout]}).
 
-    def __init__(self, root: str, num_samples: int = 32, resolution: int = 64,
-                 downsample: int = 4, steps: int = 40, seed: int = 0, **kwargs):
+    The cache is keyed by the FULL generation-parameter set: the params are
+    stored inside the npz and verified on load, and any mismatch (changed
+    nu, resolution, sample count, ...) regenerates instead of silently
+    serving stale physics under the new config's name.  Legacy caches
+    written before the parameter record existed are accepted with a warning
+    (delete the npz to force regeneration)."""
+
+    _filename: str = ""  # subclasses set the cache filename
+
+    def __init__(self, root: str, params: dict, pair_fn) -> None:
         self.root = root
-        path = os.path.join(root, "processed", "advected_data.npz")
-        if not os.path.exists(path):
+        path = os.path.join(root, "processed", self._filename)
+        stamp = json.dumps(params, sort_keys=True)
+        x = y = None
+        if os.path.exists(path):
+            with np.load(path) as z:
+                if "params" not in z:
+                    warnings.warn(
+                        f"{path}: legacy cache without a generation-parameter "
+                        "record — serving as-is; delete the file to "
+                        "regenerate under the current config")
+                    x, y = z["x"], z["y"]
+                elif str(z["params"]) == stamp:
+                    x, y = z["x"], z["y"]
+                # params present but different -> fall through and regenerate
+        if x is None:
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            rng = np.random.default_rng(seed)
+            rng = np.random.default_rng(params["seed"])
             xs, ys = [], []
-            for _ in range(num_samples):
-                lo, hi = advected_scalar_pair(resolution, rng,
-                                              factor=downsample, steps=steps)
+            for _ in range(params["num_samples"]):
+                lo, hi = pair_fn(rng)
                 xs.append(lo)
                 ys.append(hi)
-            np.savez(path, x=np.stack(xs), y=np.stack(ys))
-        with np.load(path) as z:
-            self.x, self.y = z["x"], z["y"]
+            x, y = np.stack(xs), np.stack(ys)
+            np.savez(path, x=x, y=y, params=np.array(stamp))
+        self.x, self.y = x, y
 
     def __len__(self):
         return len(self.x)
 
     def __getitem__(self, i):
         return {"x": self.x[i], "y": self.y[i]}
+
+
+class AdvectedScalarDataset(_CachedGridDataset):
+    """Learnable grid super-resolution workload: coarse-run vs fine-run
+    advected scalars (see advected_scalar_pair).  Same access API as
+    TurbulenceGridDataset; cached under root/processed."""
+
+    _filename = "advected_data.npz"
+
+    def __init__(self, root: str, num_samples: int = 32, resolution: int = 64,
+                 downsample: int = 4, steps: int = 40, seed: int = 0, **kwargs):
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, steps=steps, seed=seed)
+        super().__init__(root, params, lambda rng: advected_scalar_pair(
+            resolution, rng, factor=downsample, steps=steps))
 
 
 def _grf_threshold_coeff(n: int, rng: np.random.Generator,
@@ -183,14 +238,28 @@ def _grf_threshold_coeff(n: int, rng: np.random.Generator,
     covariance ``(-lap + tau^2)^(-alpha)`` (spectral synthesis on the
     periodic grid), mean-centered and thresholded — the standard Darcy
     coefficient construction (values ``hi`` where the GRF is positive,
-    ``lo`` elsewhere)."""
-    k = np.fft.fftfreq(n, 1.0 / n)
-    k2 = k[:, None] ** 2 + k[None, :] ** 2
-    filt = (4.0 * np.pi ** 2 * k2 + tau ** 2) ** (-alpha)
-    noise = rng.normal(size=(n, n))
-    grf = np.fft.ifft2(np.fft.fft2(noise) * filt).real
+    ``lo`` elsewhere).
+
+    Sampling a covariance-C field filters white noise by C^(1/2), i.e. the
+    spectral filter carries exponent ``-alpha/2`` (filtering scales the
+    covariance by filt^2) — exponent ``-alpha`` here would realize the much
+    smoother ``(-lap + tau^2)^(-2 alpha)`` statistics and silently make the
+    task easier than the canonical benchmark."""
+    grf = _grf_sample(n, rng, tau=tau, alpha=alpha)
     grf -= grf.mean()
     return np.where(grf >= 0.0, hi, lo).astype(np.float32)
+
+
+def _grf_sample(n: int, rng: np.random.Generator, tau: float = 3.0,
+                alpha: float = 2.0) -> np.ndarray:
+    """White noise filtered to power spectrum (4 pi^2 k^2 + tau^2)^(-alpha)
+    — i.e. a sample of N(0, (-lap + tau^2)^(-alpha)) on the periodic grid
+    (spectrum-tested in tests/test_grid.py)."""
+    k = np.fft.fftfreq(n, 1.0 / n)
+    k2 = k[:, None] ** 2 + k[None, :] ** 2
+    filt = (4.0 * np.pi ** 2 * k2 + tau ** 2) ** (-alpha / 2.0)
+    noise = rng.normal(size=(n, n))
+    return np.fft.ifft2(np.fft.fft2(noise) * filt).real
 
 
 def solve_darcy(a: np.ndarray, f=1.0) -> np.ndarray:
@@ -344,7 +413,8 @@ def simulate_ns_vorticity(w0: np.ndarray, t_end: float = 5.0,
 
 def ns_vorticity_pair(n: int, rng: np.random.Generator, factor: int = 4,
                       t_end: float = 5.0, nu: float = 1e-4, amp: float = 3.0,
-                      dt: float = 5e-3) -> tuple[np.ndarray, np.ndarray]:
+                      dt: float = 5e-3, forcing_amp: float = 0.1,
+                      max_mode: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """One Navier-Stokes super-resolution pair (the third canonical
     neural-operator task, after advection and Darcy).
 
@@ -356,10 +426,12 @@ def ns_vorticity_pair(n: int, rng: np.random.Generator, factor: int = 4,
     lost information (same construction as darcy_pair's coefficient
     channel).  Returns (x [n, n, 2], y [n, n, 1]) float32.
     """
-    w0 = _low_mode_vorticity(n, rng) * amp
-    fine = simulate_ns_vorticity(w0, t_end=t_end, nu=nu, dt=dt)
+    _check_coarse_nyquist(n, factor, max_mode)
+    w0 = _low_mode_vorticity(n, rng, max_mode=max_mode) * amp
+    fine = simulate_ns_vorticity(w0, t_end=t_end, nu=nu, dt=dt,
+                                 forcing_amp=forcing_amp)
     coarse = simulate_ns_vorticity(w0[::factor, ::factor], t_end=t_end,
-                                   nu=nu, dt=dt)
+                                   nu=nu, dt=dt, forcing_amp=forcing_amp)
     # node grids (x_i = i/n): fine node i sits at coarse coordinate i/factor
     q = np.arange(n) / factor
     gxq, gyq = np.meshgrid(q, q, indexing="ij")  # _bilinear_sample is periodic
@@ -370,89 +442,58 @@ def ns_vorticity_pair(n: int, rng: np.random.Generator, factor: int = 4,
     return x, y
 
 
-class NavierStokesDataset:
+class NavierStokesDataset(_CachedGridDataset):
     """Decaying/forced 2D turbulence vorticity workload (see
     ns_vorticity_pair).  Same access API as the other grid datasets; cached
-    under root/processed."""
+    under root/processed.  All solver knobs (dt, forcing_amp, max_mode) are
+    config-reachable — a resolution-scaled run can lower dt below the
+    default 5e-3, which sits at the advective CFL limit near n=256."""
+
+    _filename = "ns_data.npz"
 
     def __init__(self, root: str, num_samples: int = 128, resolution: int = 64,
                  downsample: int = 4, t_end: float = 5.0, nu: float = 1e-4,
-                 amp: float = 3.0, seed: int = 0, **kwargs):
-        self.root = root
-        path = os.path.join(root, "processed", "ns_data.npz")
-        if not os.path.exists(path):
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            rng = np.random.default_rng(seed)
-            xs, ys = [], []
-            for _ in range(num_samples):
-                lo, hi = ns_vorticity_pair(resolution, rng, factor=downsample,
-                                           t_end=t_end, nu=nu, amp=amp)
-                xs.append(lo)
-                ys.append(hi)
-            np.savez(path, x=np.stack(xs), y=np.stack(ys))
-        with np.load(path) as z:
-            self.x, self.y = z["x"], z["y"]
-
-    def __len__(self):
-        return len(self.x)
-
-    def __getitem__(self, i):
-        return {"x": self.x[i], "y": self.y[i]}
+                 amp: float = 3.0, dt: float = 5e-3, forcing_amp: float = 0.1,
+                 max_mode: int = 3, seed: int = 0, **kwargs):
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, t_end=t_end, nu=nu, amp=amp,
+                      dt=dt, forcing_amp=forcing_amp, max_mode=max_mode,
+                      seed=seed)
+        super().__init__(root, params, lambda rng: ns_vorticity_pair(
+            resolution, rng, factor=downsample, t_end=t_end, nu=nu, amp=amp,
+            dt=dt, forcing_amp=forcing_amp, max_mode=max_mode))
 
 
-class DarcyFlowDataset:
+class DarcyFlowDataset(_CachedGridDataset):
     """Steady-state Darcy-flow grid workload (see darcy_pair).  Same access
     API as the other grid datasets; cached under root/processed."""
 
+    _filename = "darcy_data.npz"
+
     def __init__(self, root: str, num_samples: int = 128, resolution: int = 64,
                  downsample: int = 4, seed: int = 0, **kwargs):
-        self.root = root
-        path = os.path.join(root, "processed", "darcy_data.npz")
-        if not os.path.exists(path):
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            rng = np.random.default_rng(seed)
-            xs, ys = [], []
-            for _ in range(num_samples):
-                lo, hi = darcy_pair(resolution, rng, factor=downsample)
-                xs.append(lo)
-                ys.append(hi)
-            np.savez(path, x=np.stack(xs), y=np.stack(ys))
-        with np.load(path) as z:
-            self.x, self.y = z["x"], z["y"]
-
-    def __len__(self):
-        return len(self.x)
-
-    def __getitem__(self, i):
-        return {"x": self.x[i], "y": self.y[i]}
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, seed=seed)
+        super().__init__(root, params, lambda rng: darcy_pair(
+            resolution, rng, factor=downsample))
 
 
-class TurbulenceGridDataset:
+class TurbulenceGridDataset(_CachedGridDataset):
     """Paired (upsampled-coarse, fine) snapshots on a regular grid.
 
     API mirrors the graph datasets where it makes sense: __len__, __getitem__
     returning dicts with 'x' [n, n, C] and 'y' [n, n, C].
     """
 
+    _filename = "grid_data.npz"
+
     def __init__(self, root: str, num_samples: int = 32, resolution: int = 64,
                  downsample: int = 4, seed: int = 0, **kwargs):
-        self.root = root
-        path = os.path.join(root, "processed", "grid_data.npz")
-        if not os.path.exists(path):
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            rng = np.random.default_rng(seed)
-            xs, ys = [], []
-            for _ in range(num_samples):
-                hi = synth_turbulence_2d(resolution, rng)
-                lo = spectral_downsample(hi, downsample)
-                xs.append(lo)
-                ys.append(hi)
-            np.savez(path, x=np.stack(xs), y=np.stack(ys))
-        with np.load(path) as z:
-            self.x, self.y = z["x"], z["y"]
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, seed=seed)
 
-    def __len__(self):
-        return len(self.x)
+        def pair(rng):
+            hi = synth_turbulence_2d(resolution, rng)
+            return spectral_downsample(hi, downsample), hi
 
-    def __getitem__(self, i):
-        return {"x": self.x[i], "y": self.y[i]}
+        super().__init__(root, params, pair)

@@ -1,5 +1,7 @@
 """Grid pipeline tests: synthetic turbulence dataset + FNO training."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -73,7 +75,9 @@ def test_advected_scalar_dataset(tmp_path):
     ds = AdvectedScalarDataset(str(tmp_path), num_samples=4, resolution=32,
                                steps=10)
     assert len(ds) == 4 and ds[0]["x"].shape == (32, 32, 1)
-    ds2 = AdvectedScalarDataset(str(tmp_path))  # reload from cache
+    # reload from cache: identical generation params -> served, not rebuilt
+    ds2 = AdvectedScalarDataset(str(tmp_path), num_samples=4, resolution=32,
+                                steps=10)
     np.testing.assert_array_equal(ds2[1]["y"], ds[1]["y"])
 
 
@@ -177,16 +181,41 @@ def test_darcy_pair_and_dataset(tmp_path):
     assert np.array_equal(ds2[1]["x"], ds[1]["x"])  # served from cache
 
 
-def test_darcy_factory_and_pred_baseline(tmp_path):
-    """darcy_grid factory name resolves; pred_grid's improvement baseline
-    uses only the field channels when inputs carry aux channels (the
-    coefficient field)."""
+def test_darcy_factory_and_pred_baseline(tmp_path, capsys):
+    """darcy_grid factory name resolves, and pred_grid's improvement
+    baseline uses ONLY the field channels when inputs carry aux channels
+    (the coefficient field) — driven through pred_grid itself: if the aux
+    channel leaked into the baseline, (16,16,2)-(16,16,1) broadcasting
+    would average the coefficient error in and the printed value would
+    differ from the field-only expectation."""
+    import re
+
+    import jax
+
+    from fast_eng_super_resolution_tpu.core import checkpoint as ckpt
     from fast_eng_super_resolution_tpu.data.dataset import init_dataset
+    from fast_eng_super_resolution_tpu.grid_runner import (_collection_path,
+                                                           pred_grid)
+    from fast_eng_super_resolution_tpu.models.registry import init_model
 
     ds = init_dataset("darcy_grid", str(tmp_path), num_samples=2,
                       resolution=16, downsample=4)
-    s = ds[0]
+    s = ds[1]
     assert s["x"].shape[-1] == 2 and s["y"].shape[-1] == 1
+
+    from fast_eng_super_resolution_tpu.parallel.grid_train import GridTrainer
+
+    model = init_model("fno", 4, 4, width=8, in_feats=2)
+    params, _ = GridTrainer(model, lr=0.0, out_channels=1).init(
+        jax.random.PRNGKey(0), s["x"][None])
+    log_dir = str(tmp_path / "logs")
+    ckpt.save_params(_collection_path(log_dir, "dtest"), params)
+    outs = pred_grid([1], "dtest", model, ds, {}, log_dir=log_dir)
+    assert os.path.exists(outs[0])
+    printed = capsys.readouterr().out
+    base = float(re.search(r"baseline MSE ([0-9.e+-]+)", printed).group(1))
+    want = float(((s["x"][..., :1] - s["y"]) ** 2).mean())
+    assert abs(base - want) <= 1e-6 * max(want, 1e-12), (base, want)
 
 
 def test_ns_solver_physics():
@@ -224,6 +253,66 @@ def test_ns_pair_and_dataset(tmp_path):
     hi_mask = (k[:, None] > 3.5) | (k[None, :] > 3.5)
     assert np.abs(ic_hat[hi_mask]).max() < 1e-3 * np.abs(ic_hat).max()
 
+    # downsample=2: the 8x8 coarse grid is the smallest that resolves the
+    # default max_mode=3 IC (the Nyquist guard rejects 16/4 -> 4x4)
     ds = init_dataset("ns_grid", str(tmp_path), num_samples=2, resolution=16,
-                      t_end=0.5)
+                      downsample=2, t_end=0.5)
     assert len(ds) == 2 and ds[0]["x"].shape == (16, 16, 2)
+
+
+def test_ns_nyquist_guard():
+    """A coarse grid too small for the excited IC modes aliases them — the
+    learnability precondition breaks silently, so the pair generators must
+    reject it (review finding: 16/4 -> 4x4 coarse grid vs max_mode=3)."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        advected_scalar_pair, ns_vorticity_pair)
+
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="aliases"):
+        ns_vorticity_pair(16, rng, factor=4)
+    with pytest.raises(ValueError, match="aliases"):
+        advected_scalar_pair(16, rng, factor=4)
+    ns_vorticity_pair(16, rng, factor=4, max_mode=1, t_end=0.1)  # resolvable
+
+
+def test_grf_spectrum_exponent():
+    """The Darcy coefficient GRF realizes covariance (-lap+tau^2)^(-alpha):
+    band-averaged power at wavenumbers k and 2k must fall off with exponent
+    -alpha (the review caught a -2*alpha realization — filtering white noise
+    by C rather than C^(1/2))."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import _grf_sample
+
+    tau, alpha, n = 3.0, 2.0, 256
+    rng = np.random.default_rng(0)
+    p = np.zeros((n, n))
+    for _ in range(8):
+        g = _grf_sample(n, rng, tau=tau, alpha=alpha)
+        p += np.abs(np.fft.fft2(g)) ** 2
+    k = np.abs(np.fft.fftfreq(n, 1.0 / n))
+    kr = np.sqrt(k[:, None] ** 2 + k[None, :] ** 2)
+
+    def band(k0):
+        m = (kr > 0.9 * k0) & (kr < 1.1 * k0)
+        return float(p[m].mean())
+
+    for k0 in (8.0, 16.0):
+        got = band(k0) / band(2 * k0)
+        want = ((4 * np.pi ** 2 * (2 * k0) ** 2 + tau ** 2)
+                / (4 * np.pi ** 2 * k0 ** 2 + tau ** 2)) ** alpha
+        assert abs(got / want - 1.0) < 0.25, (k0, got, want)
+
+
+def test_grid_cache_param_keying(tmp_path):
+    """Changing any generation parameter regenerates the npz cache instead
+    of serving stale physics under the new config's name (review finding:
+    caches were keyed by root path only)."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import DarcyFlowDataset
+
+    ds = DarcyFlowDataset(str(tmp_path), num_samples=2, resolution=16,
+                          downsample=4)
+    ds2 = DarcyFlowDataset(str(tmp_path), num_samples=2, resolution=16,
+                           downsample=2)
+    assert not np.array_equal(ds.x, ds2.x)  # same shape, different physics
+    ds3 = DarcyFlowDataset(str(tmp_path), num_samples=2, resolution=16,
+                           downsample=2)
+    assert np.array_equal(ds2.x, ds3.x)  # identical params -> cache hit
