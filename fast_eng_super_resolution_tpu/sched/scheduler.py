@@ -136,6 +136,43 @@ class PartitionScheduler:
     def _single_device(self) -> bool:
         return self.mesh is None or len(self.mesh.devices.ravel()) == 1
 
+    # -- serving caches ---------------------------------------------------
+    @staticmethod
+    def _hash_geometry(raw: list[dict], with_gids: bool = False) -> str:
+        """Blake2b over the RAW (host numpy) graph geometry.  Round-3
+        latency attribution: hashing device-resident arrays costs one
+        device->host fetch each (~35 ms over the relay tunnel) on every
+        warm request — the raw-key discipline is what holds the serving
+        floor at one upload + one dispatch + one fetch."""
+        import hashlib
+
+        names = ("senders", "receivers", "edge_attr") + (
+            ("global_ids",) if with_gids else ())
+        hsh = hashlib.blake2b(digest_size=16)
+        for g in raw:
+            for name in names:
+                aa = np.asarray(g[name])
+                hsh.update(aa.tobytes())
+                hsh.update(str(aa.shape).encode())
+        return hsh.hexdigest()
+
+    def _cache_put(self, key, ops, nbytes: int):
+        """Byte-budgeted FIFO insert into the fused-operand cache (one
+        policy for every serving lane).  A fixed entry COUNT would thrash
+        whenever one mesh chunks into more pieces than the cap; default
+        2 GB of HBM, FESR_FUSED_CACHE_BYTES=0 disables caching.  Oversized
+        entries are returned uncached (so a single huge mesh cannot
+        evict-loop the cache to empty)."""
+        budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES", 2 << 30))
+        entry = (ops, nbytes)
+        if nbytes <= budget:
+            self._fused_cache[key] = entry
+            total = sum(nb for _, nb in self._fused_cache.values())
+            while total > budget and len(self._fused_cache) > 1:
+                old_key = next(iter(self._fused_cache))
+                total -= self._fused_cache.pop(old_key)[1]
+        return entry
+
     def _fused_mc_fn(self, infer_model, rows_blk: int, blk: int, per: int,
                      n: int, interpret: bool):
         """Cached jit of the multi-chip fused forward (one compile per block
@@ -143,7 +180,7 @@ class PartitionScheduler:
         fused Pallas conv to its own merged group, outputs ride the same
         axis back.  Reference analog: the mp.Process inference scatter
         (scheduler_gnn.py:253-291), minus the host processes."""
-        key = (rows_blk, blk, per, n, interpret)
+        key = (infer_model, rows_blk, blk, per, n, interpret)
         cache = getattr(self, "_fused_mc_jits", None)
         if cache is None:
             cache = self._fused_mc_jits = {}
@@ -228,8 +265,13 @@ class PartitionScheduler:
     def train(self, train_config: dict, subset_idx=None,
               start_from_pretrained: bool = False, seed: int = 0,
               lr_schedule: str = "step", resume: bool = False):
-        subsets = (self.subset_indices if subset_idx is None
-                   else [self.subset_indices[i] for i in subset_idx])
+        # subset_idx holds REAL partition ids: checkpoints, warm-start
+        # params, loggers, and seeds are all keyed by partition identity, so
+        # train(subset_idx=[2]) must touch partition_2.*, not partition_0.*
+        # (the reference's positional loop, scheduler_gnn.py:88-98, silently
+        # cross-writes checkpoints when given a subset)
+        part_ids = (range(len(self.subset_indices)) if subset_idx is None
+                    else [int(i) for i in subset_idx])
         merged = self._single_device()  # merged layout: 1.5x on one chip;
         # multi-chip keeps [B,...] so the batch axis shards across the mesh
         train_model = self.model
@@ -250,13 +292,26 @@ class PartitionScheduler:
                        and os.environ.get("FESR_FUSED_TRAIN", "1") != "0")
         pretrained = self._load_models() if start_from_pretrained else None
 
-        for i, subset in enumerate(subsets):
+        for i in part_ids:
+            subset = self.subset_indices[i]
             logger = MetricLogger(f"{self.name}_partition_{i}", self.log_dir,
                                   config=train_config)
             raw = [_as_raw_graph(self.dataset.get(int(j))) for j in subset]
             tr_idx, va_idx = train_val_split(len(raw), 0.2, seed)
             if len(va_idx) == 0:
                 va_idx = tr_idx[-1:]
+            if len(tr_idx) == 0:
+                # 0/1-sample partition (the classifier does produce these):
+                # nothing to train on — persist init/pretrained params so
+                # _load_models stays consistent instead of crashing hours in
+                print(f"Partition {i}: {len(raw)} samples — too few to "
+                      "train; saving untrained params")
+                params, _ = trainer.init(jax.random.PRNGKey(seed + i))
+                if pretrained is not None and i < len(pretrained):
+                    params = pretrained[i]
+                self._save_model(i, params)
+                logger.finish()
+                continue
             batch_size = max(1, min(train_config["batch_size"], len(tr_idx)))
             hetero = bool(train_config.get("hetero_batches", False))
             train_batches = self._make_batches([raw[j] for j in tr_idx], batch_size,
@@ -334,13 +389,18 @@ class PartitionScheduler:
             if pretrained is not None and i < len(pretrained):
                 params = pretrained[i]
             start_epoch = 0
+            resumed_best = np.inf
             if resume and os.path.exists(self._state_path(i)):
                 # full step-resume: params + optimizer state + epoch counter
-                # (capability absent from the reference, SURVEY §5)
+                # + best-val (capability absent from the reference, SURVEY §5;
+                # without restoring best_loss the first post-resume val epoch
+                # would overwrite the best checkpoint with a worse model)
                 params = ckpt.load_params(self._ckpt_path(i))
                 opt_state, extra = ckpt.load_tree_like(self._state_path(i), opt_state)
                 start_epoch = int(extra.get("epoch", 0)) + 1
-                print(f"Resuming partition {i} from epoch {start_epoch}")
+                resumed_best = float(extra.get("best_loss", np.inf))
+                print(f"Resuming partition {i} from epoch {start_epoch} "
+                      f"(best val {resumed_best:g})")
             if self.mesh is not None:
                 params = replicate(params, self.mesh)
 
@@ -357,7 +417,7 @@ class PartitionScheduler:
                 raise ValueError(f"unknown lr_schedule {schedule_name!r} "
                                  "(expected step | plateau | cosine)")
 
-            best_loss = np.inf
+            best_loss = resumed_best
             epochs = train_config["epochs"]
             log_interval = train_config.get("log_interval", 10)
             val_interval = train_config.get("val_interval", 10)
@@ -515,22 +575,12 @@ class PartitionScheduler:
         if hasattr(self.model, "edges_sorted"):
             infer_model = _dc.replace(self.model, edges_sorted=True)
 
-        # Cache key from the RAW (host numpy) geometry.  Round-3 latency
-        # attribution: hashing the merged batch cost one device->host fetch
-        # per array (~35 ms each over the relay tunnel, 5 arrays) because
-        # pad_and_bucket uploads its output — those fetches, not the
-        # dispatch, were most of the 290 ms warm floor.  Per-subdomain
-        # shapes are hashed too, so node/edge counts (which determine the
-        # cached masks and scatter blocks) are part of the identity.
-        import hashlib
-        hsh = hashlib.blake2b(digest_size=16)
-        for g in raw:
-            for a in (g["senders"], g["receivers"], g["edge_attr"],
-                      g["global_ids"]):
-                aa = np.asarray(a)
-                hsh.update(aa.tobytes())
-                hsh.update(str(aa.shape).encode())
-        key = ("full", hsh.hexdigest(), num_nodes, b * n_pad, e_pad)
+        # Cache key from the RAW (host numpy) geometry (_hash_geometry) —
+        # per-subdomain shapes are hashed too, so node/edge counts (which
+        # determine the cached masks and scatter blocks) are part of the
+        # identity.
+        key = ("full", self._hash_geometry(raw, with_gids=True), num_nodes,
+               b * n_pad, e_pad)
         entry = self._fused_cache.get(key)
         if entry is None:
             (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
@@ -551,15 +601,8 @@ class PartitionScheduler:
             ops = (jnp.asarray(ea_b), jnp.asarray(sp), jnp.asarray(sm),
                    jnp.asarray(gid_dump), jnp.asarray(nm.astype(np.float32)),
                    rows_blk, blk)
-            nbytes = sum(int(a.size) * 4 for a in ops[:5])
-            budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES", 2 << 30))
-            entry = (ops, nbytes)
-            if nbytes <= budget:
-                self._fused_cache[key] = entry
-                total = sum(nb for _, nb in self._fused_cache.values())
-                while total > budget and len(self._fused_cache) > 1:
-                    old_key = next(iter(self._fused_cache))
-                    total -= self._fused_cache.pop(old_key)[1]
+            entry = self._cache_put(key, ops,
+                                    sum(int(a.size) * 4 for a in ops[:5]))
         ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
 
         # Per-request payload packing, host side — identical layout to
@@ -577,11 +620,18 @@ class PartitionScheduler:
             if g["y"] is not None:
                 ym[i * n_pad: i * n_pad + n_i] = g["y"]
 
-        fn = self._serve_jit = getattr(self, "_serve_jit", None) or jax.jit(
-            lambda params, xm, ym, ea_b, sp, sm, gid, w, rows_blk, blk, nn:
-            self._serve_body(infer_model, params, xm, ym, ea_b, sp, sm, gid,
-                             w, rows_blk, blk, nn, interp),
-            static_argnums=(8, 9, 10))
+        # keyed on the frozen model config + interpret flag (like every
+        # other cached jit here) so a swapped model never serves through a
+        # stale closure
+        jits = self._predict_jits = getattr(self, "_predict_jits", {})
+        sk = ("serve_full", infer_model, interp)
+        if sk not in jits:
+            jits[sk] = jax.jit(
+                lambda params, xm, ym, ea_b, sp, sm, gid, w, rows_blk, blk,
+                nn: self._serve_body(infer_model, params, xm, ym, ea_b, sp,
+                                     sm, gid, w, rows_blk, blk, nn, interp),
+                static_argnums=(8, 9, 10))
+        fn = jits[sk]
         out = fn(self.params_list[0], xm, ym, ea_b_j, sp_j, sm_j, gid_j,
                  w_j, rows_blk, blk, num_nodes)
         if isinstance(out, tuple):  # pred/ref channel counts differ
@@ -636,7 +686,7 @@ class PartitionScheduler:
         try:
             replace = {}
             if getattr(self.model, "mode", None) == "auto" and \
-                    jax.default_backend() == "tpu":
+                    jax.default_backend() in ("tpu", "axon"):
                 replace["mode"] = "edge3d"
             if hasattr(self.model, "edges_sorted"):
                 replace["edges_sorted"] = True
@@ -645,15 +695,8 @@ class PartitionScheduler:
         except Exception:
             pass
 
-        import hashlib
-        hsh = hashlib.blake2b(digest_size=16)
-        for g in raw:
-            for a in (g["senders"], g["receivers"], g["edge_attr"],
-                      g["global_ids"]):
-                aa = np.asarray(a)
-                hsh.update(aa.tobytes())
-                hsh.update(str(aa.shape).encode())
-        key = ("routedfull", hsh.hexdigest(), num_nodes, b * n_pad, e_pad)
+        key = ("routedfull", self._hash_geometry(raw, with_gids=True),
+               num_nodes, b * n_pad, e_pad)
         entry = self._fused_cache.get(key)
         if entry is None:
             (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
@@ -666,15 +709,8 @@ class PartitionScheduler:
             ops = (batch.senders, batch.receivers, batch.edge_attr,
                    batch.edge_mask, jnp.asarray(gid_dump),
                    jnp.asarray(nm.astype(np.float32)))
-            nbytes = sum(int(np.asarray(a).size) * 4 for a in ops)
-            budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES", 2 << 30))
-            entry = (ops, nbytes)
-            if nbytes <= budget:
-                self._fused_cache[key] = entry
-                total = sum(nb for _, nb in self._fused_cache.values())
-                while total > budget and len(self._fused_cache) > 1:
-                    old_key = next(iter(self._fused_cache))
-                    total -= self._fused_cache.pop(old_key)[1]
+            entry = self._cache_put(
+                key, ops, sum(int(np.asarray(a).size) * 4 for a in ops))
         send_j, recv_j, ea_j, em_j, gid_j, w_j = entry[0]
 
         # routing is payload-dependent — computed per request (host-side
@@ -758,13 +794,7 @@ class PartitionScheduler:
         # caches key off this + chunk identity, so warm requests never pull
         # device-resident geometry back through the tunnel (serving-v2)
         import hashlib
-        _mh = hashlib.blake2b(digest_size=16)
-        for g in raw:
-            for a in (g["senders"], g["receivers"], g["edge_attr"]):
-                aa = np.asarray(a)
-                _mh.update(aa.tobytes())
-                _mh.update(str(aa.shape).encode())
-        mesh_hex = _mh.hexdigest()
+        mesh_hex = self._hash_geometry(raw)
 
         if self.num_partitions == 1:
             labels = np.zeros(len(x), dtype=int)
@@ -780,14 +810,6 @@ class PartitionScheduler:
         # disk but the load alone costs ~1.2 s each)
         jits = self._predict_jits = getattr(self, "_predict_jits", {})
 
-        stacked = stack_params(self.params_list) if self.num_partitions > 1 else None
-        routed = None
-        if self.num_partitions > 1:
-            rk = ("routed", self.model)
-            if rk not in jits:
-                jits[rk] = make_routed_apply(self.model)
-            routed = jits[rk]
-
         # inference-only: the 3D-einsum edge form is 2.6x faster than the
         # memory-slim 2D form and its padded transient is fine forward-only
         import dataclasses as _dc
@@ -796,7 +818,7 @@ class PartitionScheduler:
         try:
             replace = {}
             if getattr(self.model, "mode", None) == "auto" and \
-                    jax.default_backend() == "tpu":
+                    jax.default_backend() in ("tpu", "axon"):
                 replace["mode"] = "edge3d"
             if hasattr(self.model, "edges_sorted"):
                 replace["edges_sorted"] = True  # pad_graph emits sorted edges
@@ -804,6 +826,21 @@ class PartitionScheduler:
                 infer_model = _dc.replace(self.model, **replace)
         except Exception:
             pass
+
+        stacked = None
+        routed = None
+        if self.num_partitions > 1:
+            # stacked expert params are identity-cached: restacking per call
+            # costs one device dispatch per param leaf on the hot path
+            stk = getattr(self, "_stacked_cache", None)
+            if stk is None or stk[0] is not self.params_list:
+                self._stacked_cache = stk = (self.params_list,
+                                             stack_params(self.params_list))
+            stacked = stk[1]
+            rk = ("routed", infer_model)
+            if rk not in jits:
+                jits[rk] = make_routed_apply(infer_model)
+            routed = jits[rk]
 
         def single_expert(params, batch):
             # merged block-diagonal layout: one scatter pass for the whole
@@ -869,16 +906,9 @@ class PartitionScheduler:
                             batchd["fused"]["aux"]["senders_perm"], shd),
                         "s": jax.device_put(batchd["fused"]["s"], shd),
                     }
-                    nbytes = sum(int(a.size) * 4 for a in ops.values())
-                    budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES",
-                                                2 << 30))
-                    entry = ((ops, rb, bk), nbytes)
-                    if nbytes <= budget:
-                        self._fused_cache[key] = entry
-                        total = sum(v[1] for v in self._fused_cache.values())
-                        while total > budget:
-                            old_key = next(iter(self._fused_cache))
-                            total -= self._fused_cache.pop(old_key)[1]
+                    entry = self._cache_put(
+                        key, (ops, rb, bk),
+                        sum(int(a.size) * 4 for a in ops.values()))
                 ops, rb, bk = entry[0]
                 # node features re-merge per device group by pure reshape
                 # (merge_batch's block-diagonal layout, core/graph.py:169)
@@ -902,21 +932,24 @@ class PartitionScheduler:
             fused_jit = jits[fk]
 
             def fused_expert(params, chunk, ckey):
-                from ..core.graph import merge_batch
-
                 b, n = chunk.x.shape[0], chunk.x.shape[1]
-                merged, _ = merge_batch(chunk)
                 # serving steady state: scatter blocks are graph-static and
                 # cost ~0.4 s/500k edges to build.  The cache key is the RAW
                 # mesh hash + chunk identity computed host-side by the
                 # caller — hashing merged device arrays here cost one
                 # device->host tunnel fetch per array (~35 ms each) on EVERY
-                # warm request (round-3 serving-v2 lesson)
+                # warm request (round-3 serving-v2 lesson).  On a hit, the
+                # full merge_batch is skipped too: the kernel needs only
+                # merged.x, which in the block-diagonal layout is a pure
+                # reshape of chunk.x (same trick as the multi-chip sibling).
                 key = ("chunk",) + ckey + (b, n)
                 entry = self._fused_cache.get(key)
                 if entry is None:
-                    # one-time per (mesh, chunk): the 4 fetches below are
-                    # paid only on a cache miss
+                    # one-time per (mesh, chunk): merge + the 4 fetches
+                    # below are paid only on a cache miss
+                    from ..core.graph import merge_batch
+
+                    merged, _ = merge_batch(chunk)
                     send = np.asarray(merged.senders)
                     recv = np.asarray(merged.receivers)
                     ea = np.asarray(merged.edge_attr)
@@ -925,22 +958,11 @@ class PartitionScheduler:
                         send, recv, ea, merged.x.shape[0], em)
                     ops = (jnp.asarray(ea_b), jnp.asarray(sp),
                            jnp.asarray(sm), rows_blk, blk)
-                    # byte-budgeted FIFO (a fixed entry COUNT would thrash
-                    # whenever one mesh chunks into more pieces than the
-                    # cap): S dominates entry size; default 2 GB of HBM,
-                    # FESR_FUSED_CACHE_BYTES=0 disables caching
-                    budget = int(os.environ.get("FESR_FUSED_CACHE_BYTES",
-                                                2 << 30))
-                    nbytes = sum(int(a.size) * 4 for a in ops[:3])
-                    if nbytes <= budget:
-                        self._fused_cache[key] = (ops, nbytes)
-                        total = sum(b for _, b in self._fused_cache.values())
-                        while total > budget:
-                            old_key = next(iter(self._fused_cache))
-                            total -= self._fused_cache.pop(old_key)[1]
-                    entry = (ops, nbytes)
+                    entry = self._cache_put(
+                        key, ops, sum(int(a.size) * 4 for a in ops[:3]))
                 ea_b_j, sp_j, sm_j, rows_blk, blk = entry[0]
-                return fused_jit(params, merged.x, ea_b_j, sp_j, sm_j,
+                xm = jnp.reshape(chunk.x, (b * n, -1))
+                return fused_jit(params, xm, ea_b_j, sp_j, sm_j,
                                  rows_blk, blk, (b, n, -1))
 
         buckets = pad_and_bucket(raw, uniform=True)

@@ -658,3 +658,82 @@ def test_lowrank_kernel_trains_and_predicts(synth, tmp_path_factory):
     for a, b in zip(preds, preds_f):
         a, b = np.asarray(a), np.asarray(b)
         assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-2
+
+
+def test_train_subset_idx_targets_real_partition(synth, tmp_path_factory):
+    """train(subset_idx=[1]) must write partition_1.*, not positionally
+    overwrite partition_0.* with cluster-1 weights (review finding; the
+    reference's positional loop, scheduler_gnn.py:88-98, has the bug)."""
+    from fast_eng_super_resolution_tpu.core import checkpoint as ckpt
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.classifiers import KMeansClassifier
+    from fast_eng_super_resolution_tpu.sched.encoders import PCAEncoder
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_subset"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler(
+        "subset_t", 2, synth, model, train=True,
+        encoder=PCAEncoder(n_components=2), classifier=KMeansClassifier(2),
+        log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=2, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    p0_before = ckpt.load_params(sched._ckpt_path(0))
+    mtime1_before = os.path.getmtime(sched._ckpt_path(1))
+    sched.train(config, subset_idx=[1], seed=7)
+    p0_after = ckpt.load_params(sched._ckpt_path(0))
+    import jax
+
+    # partition 0's checkpoint is untouched; partition 1's was rewritten
+    for a, b in zip(jax.tree_util.tree_leaves(p0_before),
+                    jax.tree_util.tree_leaves(p0_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert os.path.getmtime(sched._ckpt_path(1)) > mtime1_before
+
+
+def test_resume_restores_best_val(synth, tmp_path_factory):
+    """resume=True restores the saved best_loss so a worse post-resume val
+    epoch cannot overwrite the best checkpoint (review finding)."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_resume"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("resume_t", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    config = dict(epochs=4, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    sched.train(config)
+    # fake an excellent saved best: resume must NOT beat it with one epoch
+    state = sched._state_path(0)
+    data = dict(np.load(state, allow_pickle=False))
+    best_keys = [n for n in data if "best_loss" in n]
+    assert best_keys, list(data)
+    for n in best_keys:
+        data[n] = np.asarray(1e-30)
+    np.savez(state, **data)
+    before = os.path.getmtime(sched._ckpt_path(0))
+    sched.train(dict(config, epochs=6), resume=True)
+    # val loss of the resumed epochs can't beat 1e-30 -> no overwrite
+    assert os.path.getmtime(sched._ckpt_path(0)) == before
+
+
+def test_empty_partition_saves_untrained(synth, tmp_path_factory):
+    """A partition with 0 training samples is skipped gracefully: untrained
+    params are saved so _load_models stays consistent (review finding: it
+    crashed with IndexError after training every earlier partition)."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    log_dir = str(tmp_path_factory.mktemp("logs_empty"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("empty_t", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=False)
+    # force an empty subset for partition 0
+    sched.subset_indices = [np.array([], dtype=int)]
+    config = dict(epochs=2, batch_size=8, lr=1e-3, step_size=30, gamma=0.1,
+                  log_interval=10, val_interval=1)
+    params_list = sched.train(config)
+    assert os.path.exists(sched._ckpt_path(0))
+    assert len(params_list) == 1
