@@ -129,8 +129,10 @@ def train_grid(exp_name: str, model, dataset, train_config: dict,
         opt_state = trainer.set_lr(opt_state, sched(epoch + 1))
         if epoch % val_interval == 0 or epoch == epochs - 1:
             val_loss = trainer.evaluate(params, x_va, y_va)
+            # log the LR this epoch actually trained under, not the one just
+            # scheduled for the next (the graph path does the same)
             logger.log({"train_loss": train_loss, "val_loss": val_loss,
-                        "lr": sched(epoch + 1)}, step=epoch)
+                        "lr": sched(epoch)}, step=epoch)
             if val_loss < best_val:
                 best_val = val_loss
                 ckpt.save_params(path, params)

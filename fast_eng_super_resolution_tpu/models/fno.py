@@ -174,8 +174,11 @@ class FNO2d:
         for i in range(4):
             params[f"conv{i}"] = _spectral_init(ks[3 + i], w, w, self.modes1, self.modes2)
             params[f"w{i}"] = _conv1x1_init(ks[7 + i], w, w)
-            params[f"mlp{i}"] = {"mlp1": _conv1x1_init(ks[11 if i < 3 else 13], w, w),
-                                 "mlp2": _conv1x1_init(jax.random.fold_in(ks[11 if i < 3 else 13], i), w, w)}
+            # independent draws per block: fold the block index into distinct
+            # base keys (a shared base key would start mlp0-2 bit-identical)
+            params[f"mlp{i}"] = {
+                "mlp1": _conv1x1_init(jax.random.fold_in(ks[11], i), w, w),
+                "mlp2": _conv1x1_init(jax.random.fold_in(ks[12], i), w, w)}
         return params
 
     def import_pth(self, state_dict) -> dict:
@@ -235,6 +238,7 @@ class FNO2d:
             if i < 3:
                 x = jax.nn.gelu(x, approximate=False)
 
-        x = x[..., :-pad, :-pad]
+        if pad:  # [:-0] would silently produce empty H/W dims
+            x = x[..., :-pad, :-pad]
         x = _mlp_block(params["q"], x)
         return jnp.transpose(x, (0, 2, 3, 1))

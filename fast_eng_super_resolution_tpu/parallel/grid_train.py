@@ -15,6 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..models.common import linear
+from .train import Trainer
+
 
 @dataclasses.dataclass
 class GridTrainer:
@@ -28,7 +31,7 @@ class GridTrainer:
         def predict(params, x):
             out = self.model.apply(params["model"], x)
             if "proj" in params:
-                out = out @ params["proj"]["w"] + params["proj"]["b"]
+                out = linear(params["proj"], out)
             return out
 
         def loss_fn(params, x, y):
@@ -91,10 +94,12 @@ class GridTrainer:
         return params, self.optimizer.init(params)
 
     def _probe_out(self, model_params, sample_x):
-        # eval_shape: no device execution — an eager probe costs hundreds of
-        # tunnel round-trips on relay backends (~0.5 s/op, CLAUDE.md)
-        return jax.eval_shape(self.model.apply, model_params,
-                              jnp.zeros_like(jnp.asarray(sample_x[:1])))
+        # eval_shape over a ShapeDtypeStruct: no device execution AND no
+        # input upload — an eager probe costs hundreds of tunnel round-trips
+        # on relay backends, and even jnp.asarray(sample) pays one (~0.5
+        # s/op, CLAUDE.md)
+        probe = jax.ShapeDtypeStruct(sample_x[:1].shape, jnp.float32)
+        return jax.eval_shape(self.model.apply, model_params, probe)
 
     def step(self, params, opt_state, x, y):
         return self._step(params, opt_state, x, y)
@@ -116,10 +121,8 @@ class GridTrainer:
     def predict(self, params, x):
         return self._predict(params, x)
 
-    @staticmethod
-    def set_lr(opt_state, lr: float):
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        return opt_state
+    # one LR-injection convention for both trainers (parallel/train.py)
+    set_lr = staticmethod(Trainer.set_lr)
 
 
 def shard_grid_epoch(xb, yb, mesh, axis: str = "data"):
