@@ -59,6 +59,12 @@ def make_overlap_average_device(num_nodes: int):
         w = weights[:, None]
         acc = jax.ops.segment_sum(predictions * w, global_ids, num_segments=num_nodes)
         wsum = jax.ops.segment_sum(weights, global_ids, num_segments=num_nodes)
-        return acc / jnp.maximum(wsum, 1e-30)[:, None]
+        # match the host path's `wacc > 0` guard exactly: node weights from
+        # compute_node_weight are UNCLAMPED sums that can go negative
+        # (ops/loss.py) — a plain max(wsum, eps) would divide by eps there
+        # and emit ~1e30 garbage instead of 0
+        covered = (wsum > 0.0)[:, None]
+        return jnp.where(covered, acc / jnp.where(covered, wsum[:, None], 1.0),
+                         0.0)
 
     return fn

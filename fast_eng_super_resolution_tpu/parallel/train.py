@@ -71,6 +71,8 @@ def combine_loss_parts(sq_sum, n_real, w_sum, linf_max, kind: str = "gradient",
     mse = sq_sum / jnp.maximum(n_real, 1.0)
     if kind == "mse":
         return mse
+    if kind != "gradient":
+        raise ValueError(f"unknown loss kind {kind!r} (expected mse | gradient)")
     return mse * w_sum + linf_weight * linf_max
 
 
@@ -159,13 +161,16 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
     Returns (stacked_batch_dict, rows_blk, blk) where the dict leaves are
     [n_dev, ...] arrays ({'graph': merged GraphBatch, 'fused': {...}}).
     """
-    import numpy as np
-
     from ..core.graph import merge_batch
 
     b = batch.x.shape[0]
     assert b % n_dev == 0, (b, n_dev)
     per = b // n_dev
+    # ONE device->host gather up front: callers hand device-resident batches
+    # (pad_batch_to_multiple concatenates on device), and per-leaf
+    # np.asarray inside the loop would re-fetch every full array n_dev
+    # times (~35 ms per fetch over the relay tunnel, CLAUDE.md)
+    batch = jax.device_get(batch)
     groups = []
     for d in range(n_dev):
         sl = slice(d * per, (d + 1) * per)
@@ -210,8 +215,6 @@ def stack_batches(batches):
     remainder batch) — callers fall back to per-batch stepping."""
     if not batches:
         return None
-    import numpy as np
-
     flat0, treedef0 = jax.tree_util.tree_flatten(batches[0])
     shapes0 = [np.shape(l) for l in flat0]
     stacked_leaves = [[np.asarray(l)] for l in flat0]
@@ -417,6 +420,14 @@ class Trainer:
         shard_map, no_check_kw = _import_shard_map()
 
         def global_loss(params, batch):
+            # each shard must hold exactly ONE merged group: taking [0] of a
+            # multi-group shard would silently train on a fraction of the
+            # data (build the batch with n_dev == mesh axis size)
+            lead = {a.shape[0] for a in jax.tree_util.tree_leaves(batch)}
+            assert lead == {1}, (
+                f"fused shard_map step: per-device shard has leading dims "
+                f"{sorted(lead)}, expected 1 — make_fused_shard_batches "
+                f"n_dev must equal the mesh '{axis}' axis size")
             local = jax.tree_util.tree_map(lambda a: a[0], batch)
             sq, n, w, linf = merged_fused_loss_parts(
                 self.model, params, local, rows_blk, blk,
@@ -480,16 +491,19 @@ class CosineLR:
 
 class ReduceLROnPlateau:
     """torch ReduceLROnPlateau(mode='min', factor=0.5, patience=5) equivalent
-    (scheduler_gnn.py:140)."""
+    (scheduler_gnn.py:140), including torch's default rel-threshold 1e-4:
+    an improvement only counts when metric < best * (1 - threshold), so an
+    infinitesimally-creeping plateau still decays the LR."""
 
     def __init__(self, lr: float, factor: float = 0.5, patience: int = 5,
-                 min_lr: float = 0.0):
+                 min_lr: float = 0.0, threshold: float = 1e-4):
         self.lr, self.factor, self.patience, self.min_lr = lr, factor, patience, min_lr
+        self.threshold = threshold
         self.best = np.inf
         self.bad_epochs = 0
 
     def update(self, metric: float) -> float:
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:

@@ -136,6 +136,18 @@ class PartitionScheduler:
     def _single_device(self) -> bool:
         return self.mesh is None or len(self.mesh.devices.ravel()) == 1
 
+    def _check_labels(self, labels: np.ndarray) -> None:
+        """Routing labels must be valid expert indices BEFORE entering the
+        jit dispatch: jnp's clamping gather would silently route an
+        out-of-range label (stale classifier vs retrained expert count, -1
+        sentinels) to the nearest expert instead of erroring."""
+        if len(labels) and (labels.min() < 0
+                            or labels.max() >= self.num_partitions):
+            raise ValueError(
+                f"routing labels outside [0, {self.num_partitions}): "
+                f"min={labels.min()}, max={labels.max()} — classifier and "
+                "expert count disagree (stale routing model?)")
+
     # -- serving caches ---------------------------------------------------
     @staticmethod
     def _hash_geometry(raw: list[dict], with_gids: bool = False) -> str:
@@ -717,6 +729,7 @@ class PartitionScheduler:
         # encoders/classifiers; labels enter the program as data)
         latent = self.encoder.get_latent_space(x)
         labels = np.asarray(self.classifier.cluster(latent), dtype=np.int32)
+        self._check_labels(labels)
 
         stk = getattr(self, "_stacked_cache", None)
         if stk is None or stk[0] is not self.params_list:
@@ -802,6 +815,7 @@ class PartitionScheduler:
             latent = self.encoder.get_latent_space(x)
             print("Latent space shape:", latent.shape)
             labels = np.asarray(self.classifier.cluster(latent), dtype=int)
+            self._check_labels(labels)
 
         # jit wrappers are CACHED on the scheduler: rebuilding jax.jit (and
         # the lambdas inside) per predict() call made every warm request a
