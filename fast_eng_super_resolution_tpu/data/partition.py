@@ -69,8 +69,11 @@ def rcb_regions(centroids: np.ndarray, num_parts: int,
         cut = np.quantile(pts[:, axis], frac) if len(idx) else 0.5 * (box_lo[axis] + box_hi[axis])
         left = idx[pts[:, axis] <= cut]
         right = idx[pts[:, axis] > cut]
-        # guard degenerate quantile (many equal coords): rebalance by argsort
-        if len(left) == 0 or len(right) == 0:
+        # guard degenerate quantile (many equal coords): rebalance by argsort.
+        # An EMPTY idx (num_parts > cell count) skips this — both branches
+        # recurse empty and the leaves become empty labeled regions instead
+        # of order[-1] indexing an empty array
+        if (len(left) == 0 or len(right) == 0) and len(idx) > 0:
             order = idx[np.argsort(pts[:, axis], kind="stable")]
             k = max(1, int(round(frac * len(idx))))
             left, right = order[:k], order[k:]
@@ -98,8 +101,18 @@ def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
     if full is not None:
         return full
 
-    pts_at_cells = points[cells]  # one gather reused for centroid + bbox
-    centroids = pts_at_cells.mean(axis=1)
+    if isinstance(cells, np.ndarray) and cells.ndim == 2:
+        pts_at_cells = points[cells]  # one gather reused for centroid + bbox
+        centroids = pts_at_cells.mean(axis=1)
+        cell_lo = pts_at_cells.min(axis=1)
+        cell_hi = pts_at_cells.max(axis=1)
+    else:
+        # ragged cells (mixed element types, dataset.py builds an object
+        # array): per-cell loop — the pure-Python fallback like extract()'s
+        per_cell = [points[np.asarray(c, np.int64)] for c in cells]
+        centroids = np.stack([p.mean(axis=0) for p in per_cell])
+        cell_lo = np.stack([p.min(axis=0) for p in per_cell])
+        cell_hi = np.stack([p.max(axis=0) for p in per_cell])
     native = rcb_assign_native(centroids, num_parts)
     if native is not None:
         assignment, boxes = native
@@ -107,11 +120,6 @@ def assign_cells(points: np.ndarray, cells: np.ndarray, num_parts: int,
         assignment, boxes = rcb_regions(centroids, num_parts)
     if mode == "one_region":
         return [np.where(assignment == p)[0] for p in range(num_parts)], boxes
-
-    if mode != "all_intersecting":
-        raise ValueError(f"unknown boundary mode: {mode}")
-    cell_lo = pts_at_cells.min(axis=1)
-    cell_hi = pts_at_cells.max(axis=1)
     from .native import box_intersect_native
 
     member = box_intersect_native(cell_lo, cell_hi, boxes)  # threaded C++
@@ -198,10 +206,12 @@ def uniform_box_subdomains(points: np.ndarray, cells: np.ndarray, x: np.ndarray,
     centroids = points[cells].mean(axis=1)
     lo = points.min(axis=0)
     bins = np.floor((centroids - lo) / sub_size).astype(np.int64)
-    keys = bins[:, 0] * 73856093 ^ bins[:, 1] * 19349663 ^ bins[:, 2] * 83492791
+    # row-wise unique (NOT a scalar hash: XOR spatial hashes collide within
+    # realistic bin ranges and would silently merge disjoint boxes)
+    _, inverse = np.unique(bins, axis=0, return_inverse=True)
     subs = []
-    for key in np.unique(keys):
-        cell_ids = np.where(keys == key)[0]
+    for key in range(int(inverse.max()) + 1 if len(inverse) else 0):
+        cell_ids = np.where(inverse == key)[0]
         sub_cells = cells[cell_ids]
         gids = np.unique(sub_cells)
         local = np.full(points.shape[0], -1, np.int64)

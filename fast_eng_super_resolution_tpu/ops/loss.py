@@ -208,6 +208,8 @@ def training_loss(
             m = node_mask[:, None].astype(sq.dtype)
             return jnp.sum(sq * m) / jnp.maximum(jnp.sum(m) * sq.shape[1], 1.0)
         return jnp.mean(sq)
+    if kind != "gradient":
+        raise ValueError(f"unknown loss kind {kind!r} (expected mse | gradient)")
     base = gradient_based_loss(pred, target, senders, receivers, edge_attr,
                                edge_mask, node_mask)
     return base + linf_weight * linf_loss(pred, target, node_mask)

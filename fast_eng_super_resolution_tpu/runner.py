@@ -112,7 +112,7 @@ def pred_graph_ALDD(idxs, exp_name: str, model, dataset, num_partitions: int,
     return outputs
 
 
-def main(args, default_sub_size_kw: bool = False):
+def main(args):
     """Shared __main__ body for both entry scripts (run_ALDS_3D.py:44-73)."""
     from .utils.env import maybe_init_distributed, setup_compilation_cache
 

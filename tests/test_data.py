@@ -276,3 +276,57 @@ def test_per_subdomain_field_norm(tmp_path):
         assert abs(np.abs(b["x"][:, :3]).max() - 1.0) < 1e-6
         assert abs(np.abs(b["x"][:, 3]).max() - 1.0) < 1e-6
     assert raw.get(0).get("field_scale") is None
+
+
+def test_assign_cells_mixed_element_mesh():
+    """TRULY ragged cells (unequal node counts, dtype=object — what
+    dataset.py builds for mixed tet/wedge/hex meshes) partition without
+    crashing in both boundary modes (review finding: points[cells] raised
+    IndexError before the ragged branch existed)."""
+    from fast_eng_super_resolution_tpu.data.partition import extract_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field, make_duct_mesh
+
+    mesh = make_duct_mesh(8, 4, 4)
+    v, p = duct_field(mesh.points)
+    y = np.concatenate([v, p], 1)
+    ragged = [list(c) for c in mesh.cells]
+    ragged[0] = ragged[0][:4]  # one tet-like cell -> unequal lengths
+    cells_obj = np.empty(len(ragged), dtype=object)
+    cells_obj[:] = ragged
+    for mode in ("one_region", "all_intersecting"):
+        subs = extract_subdomains(mesh.points, cells_obj, y, y, 2, mode)
+        assert len(subs) >= 1
+        covered = np.unique(np.concatenate([s.global_node_ids for s in subs]))
+        # every node of every cell is covered
+        want = np.unique(np.concatenate([np.asarray(c) for c in ragged]))
+        assert np.isin(want, covered).all()
+
+
+def test_rcb_more_parts_than_cells():
+    """num_parts > cell count yields empty regions instead of IndexError
+    (review finding: the degenerate-quantile guard indexed order[-1] on an
+    empty branch)."""
+    from fast_eng_super_resolution_tpu.data.partition import rcb_regions
+
+    centroids = np.array([[0.5, 0.5, 0.5]])
+    assignment, boxes = rcb_regions(centroids, 4)
+    assert assignment.shape == (1,) and 0 <= assignment[0] < 4
+    assert len(boxes) == 4 and all(b is not None for b in boxes)
+
+
+def test_uniform_box_keys_collision_free():
+    """Box identity is row-wise unique, not a scalar XOR hash: the old hash
+    collided within realistic bin ranges (e.g. bins (22,17,13) vs
+    (56,23,45)) and silently merged disjoint boxes (review finding)."""
+    from fast_eng_super_resolution_tpu.data.partition import uniform_box_subdomains
+    from fast_eng_super_resolution_tpu.data.synthetic import make_duct_mesh
+
+    mesh = make_duct_mesh(10, 4, 4)
+    y = np.ones((len(mesh.points), 1), np.float32)
+    subs = uniform_box_subdomains(mesh.points, mesh.cells, y, y, sub_size=0.3)
+    # each subdomain's centroids must occupy exactly ONE grid box
+    lo = mesh.points.min(axis=0)
+    for s in subs:
+        cent = mesh.points[mesh.cells[s.cell_ids]].mean(axis=1)
+        bins = np.floor((cent - lo) / 0.3).astype(np.int64)
+        assert len(np.unique(bins, axis=0)) == 1
