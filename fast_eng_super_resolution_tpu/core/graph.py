@@ -98,6 +98,11 @@ def pad_graph(
         raise ValueError(f"graph has {n} nodes > n_pad={n_pad}")
     if e > e_pad:
         raise ValueError(f"graph has {e} edges > e_pad={e_pad}")
+    if e < e_pad and n >= n_pad:
+        raise ValueError(
+            f"padded edges need a padded node: n == n_pad == {n_pad} would "
+            "alias a real node (size buckets via BucketSpec.bucket_for, "
+            "which reserves one)")
     if edge_attr.ndim == 1:
         edge_attr = edge_attr[:, None]
     # sort edges by receiver: padded edges (receiver = n_pad-1) land at the
@@ -153,7 +158,7 @@ def stack_graphs(graphs: Sequence[Graph], to_device: bool = True) -> GraphBatch:
     return batch
 
 
-def merge_batch(batch: GraphBatch) -> Graph:
+def merge_batch(batch: GraphBatch) -> tuple[Graph, jnp.ndarray]:
     """Flattens a [B, ...] GraphBatch into ONE block-diagonal Graph.
 
     Local node indices get per-graph offsets, so a single segment-sum /
@@ -195,8 +200,12 @@ class BucketSpec:
     min_edges: int = 1024
 
     def bucket_for(self, n: int, e: int) -> tuple[int, int]:
+        # n+1: guarantee at least one PADDED node, because padded edges
+        # point at node n_pad-1 — at n == n_pad that would alias a real
+        # node and consumers without an edge_mask would scatter spurious
+        # messages into it (module-docstring invariant)
         return (
-            max(_round_up(n, self.node_multiple), self.min_nodes),
+            max(_round_up(n + 1, self.node_multiple), self.min_nodes),
             max(_round_up(e, self.edge_multiple), self.min_edges),
         )
 

@@ -67,6 +67,47 @@ def write_physics_csv(path: str, points: np.ndarray, velocity: np.ndarray,
     df.to_csv(path, index=False)
 
 
+def _renormalize_interp(interp: np.ndarray, context: str,
+                        pressure_shift: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Renormalize interpolated input fields (GraphDataset.py:1008-1011)
+    with degenerate-value guards: an all-zero or constant interpolated field
+    (e.g. gauss_radius too small for the mesh spacing) would divide 0/0 and
+    write NaN into the processed cache.  The reference warns on NaN after
+    the fact (GraphDataset.py:401-403, 1012-1014); we guard before the
+    divide AND warn, so caches stay finite."""
+    v = interp[:, :3]
+    vmax = float(np.max(np.abs(v))) if v.size else 0.0
+    if not np.isfinite(vmax) or vmax <= 0:
+        print(f"Warning: degenerate interpolated velocity in {context} "
+              f"(max |v| = {vmax}); skipping velocity normalization")
+    else:
+        v = v / vmax
+    p = interp[:, 3:4]
+    if pressure_shift:
+        p = p - np.min(p)
+    pmax = float(np.max(p)) if p.size else 0.0
+    if not np.isfinite(pmax) or pmax <= 0:
+        print(f"Warning: degenerate interpolated pressure in {context} "
+              f"(max = {pmax}); skipping pressure normalization")
+    else:
+        p = p / pmax
+    return v.astype(np.float32), p.astype(np.float32)
+
+
+def _stack_cells(cell_sets) -> tuple[np.ndarray, bool]:
+    """Uniform cell sets stack into a 2D int array (the native fast paths);
+    mixed element sizes fall back to a ragged object array.  An empty mesh
+    yields an empty 2D array instead of IndexError (this guard previously
+    existed in only one of the two copy-pasted call sites)."""
+    if not len(cell_sets):
+        return np.empty((0, 0), np.int64), True
+    sizes = np.array([len(c) for c in cell_sets])
+    uniform = bool(np.all(sizes == sizes[0]))
+    cells = (np.stack(cell_sets) if uniform
+             else np.array(cell_sets, dtype=object))
+    return cells, uniform
+
+
 class _PartitionedGraphDataset:
     """Shared h5-backed partition cache + sample access (base for both datasets)."""
 
@@ -236,14 +277,11 @@ class AnsysDataset(_PartitionedGraphDataset):
                 low.points.astype(np.float64), fields,
                 high.points.astype(np.float64), radius=self.gauss_radius,
                 sharpness=GAUSS_SHARPNESS)
-            v_in = interp[:, :3] / np.max(np.abs(interp[:, :3]))
-            p_in = interp[:, 3:4] - np.min(interp[:, 3:4])
-            p_in = p_in / np.max(p_in)
+            v_in, p_in = _renormalize_interp(interp, f"case {name}",
+                                             pressure_shift=True)
 
             cell_sets = high.cell_point_sets()
-            sizes = np.array([len(c) for c in cell_sets])
-            uniform = np.all(sizes == sizes[0])
-            cells = (np.stack(cell_sets) if uniform else np.array(cell_sets, dtype=object))
+            cells, uniform = _stack_cells(cell_sets)
 
             mesh_idx = meta["num_meshes"]
             np.savez(os.path.join(self.processed_dir, f"mesh_{mesh_idx}.npz"),
@@ -273,44 +311,51 @@ class AnsysDataset(_PartitionedGraphDataset):
                 g = f.create_group(f"mesh_{i}")
                 for j, sub in enumerate(subs):
                     self._write_subdomain(g.create_group(f"subdomain_{j}"), sub)
+        self._mesh_counts_cache = None  # rebuilt partitions invalidate counts
 
     @property
     def num_meshes(self) -> int:
         with np.load(self._processed_marker()) as z:
             return int(z["num_meshes"])
 
+    def _mesh_counts(self) -> list[tuple[str, int]]:
+        """(mesh key, subdomain count) per mesh, cached: the partition h5 is
+        immutable after build_partitions, and re-enumerating every group's
+        keys on each get() paid O(meshes x subdomains) h5 metadata scans per
+        sample (hot in training ETL)."""
+        cached = getattr(self, "_mesh_counts_cache", None)
+        if cached is None:
+            with self._h5() as f:
+                cached = [(k, len(f[k].keys()))
+                          for k in sorted(f.keys(),
+                                          key=lambda s: int(s.split("_")[1]))]
+            self._mesh_counts_cache = cached
+        return cached
+
     def __len__(self):
-        total = 0
-        with self._h5() as f:
-            for key in f.keys():
-                total += len(f[key].keys())
-        return total
+        return sum(n for _, n in self._mesh_counts())
 
     def mesh_subdomain_indices(self, mesh_idx: int) -> np.ndarray:
         """Flat dataset indices of one mesh's subdomains — lets callers build
         mesh-level train/held-out splits (e.g. the ``train_meshes`` exp-config
         key; capability absent from the reference, which always trains on the
         full dataset)."""
-        with self._h5() as f:
-            keys = sorted(f.keys(), key=lambda s: int(s.split("_")[1]))
-            start = 0
-            for key in keys:
-                n = len(f[key].keys())
-                if key == f"mesh_{mesh_idx}":
-                    return np.arange(start, start + n, dtype=np.int64)
-                start += n
+        start = 0
+        for key, n in self._mesh_counts():
+            if key == f"mesh_{mesh_idx}":
+                return np.arange(start, start + n, dtype=np.int64)
+            start += n
         raise IndexError(f"mesh_{mesh_idx} not in partition cache")
 
     def get(self, idx: int) -> dict:
         """Flat subdomain indexing across meshes (cf. GraphDataset.py:772-797;
         the reference's hardcoded 4-subdomain assumption at :776-780 is a bug —
         we index by actual counts, SURVEY §7 'build the intended behavior')."""
-        with self._h5() as f:
-            counts = [(k, len(f[k].keys())) for k in sorted(f.keys(), key=lambda s: int(s.split("_")[1]))]
-            for key, n in counts:
-                if idx < n:
+        for key, n in self._mesh_counts():
+            if idx < n:
+                with self._h5() as f:
                     return self._read_subdomain(f[key][f"subdomain_{idx}"])
-                idx -= n
+            idx -= n
         raise IndexError("subdomain index out of range")
 
     def get_one_full_sample(self, idx: int) -> list[dict]:
@@ -355,7 +400,7 @@ class DuctAnalysisDataset(_PartitionedGraphDataset):
         high = read_msh(os.path.join(self.raw_dir, self.raw_file_names[0]))
         med = read_msh(os.path.join(self.raw_dir, self.raw_file_names[1]))
 
-        def fields_for(mesh, phys_name, norm_pressure):
+        def fields_for(mesh, phys_name):
             pts, vel, pres = read_physics_csv(os.path.join(self.raw_dir, phys_name),
                                               self.pressure_col)
             pres = pres / np.max(pres)  # :368
@@ -364,8 +409,8 @@ class DuctAnalysisDataset(_PartitionedGraphDataset):
             vel = vel / np.max(np.abs(vel))  # :381
             return vel.astype(np.float32), pres.astype(np.float32)
 
-        v_hi, p_hi = fields_for(high, self.raw_file_names[3], True)
-        v_md, p_md = fields_for(med, self.raw_file_names[4], True)
+        v_hi, p_hi = fields_for(high, self.raw_file_names[3])
+        v_md, p_md = fields_for(med, self.raw_file_names[4])
 
         spacing = float(np.max(np.ptp(med.points, axis=0)) /
                         max(np.cbrt(len(med.points)), 1.0))
@@ -373,13 +418,11 @@ class DuctAnalysisDataset(_PartitionedGraphDataset):
             med.points.astype(np.float64), np.concatenate([v_md, p_md], 1),
             high.points.astype(np.float64), radius=3 * spacing,
             sharpness=GAUSS_SHARPNESS)
-        v_in = interp[:, :3] / np.max(np.abs(interp[:, :3]))
-        p_in = interp[:, 3:4] / np.max(interp[:, 3:4])
+        v_in, p_in = _renormalize_interp(interp, "duct mesh",
+                                         pressure_shift=False)
 
         cell_sets = high.cell_point_sets()
-        sizes = np.array([len(c) for c in cell_sets])
-        uniform = np.all(sizes == sizes[0]) if len(sizes) else True
-        cells = np.stack(cell_sets) if uniform else np.array(cell_sets, dtype=object)
+        cells, uniform = _stack_cells(cell_sets)
         np.savez(os.path.join(self.processed_dir, "mesh_0.npz"),
                  points=high.points, cells=cells,
                  x=np.concatenate([v_in, p_in], 1).astype(np.float32),

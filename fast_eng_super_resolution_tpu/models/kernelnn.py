@@ -93,7 +93,7 @@ class KernelNN:
         kdtype = jnp.dtype(self.kernel_dtype) if self.kernel_dtype else None
         pre = precompute_edge_kernel(conv["edge_mlp"], edge_attr,
                                      jax.nn.relu, self.mode, kdtype,
-                                     self.lut_knots)
+                                     self.lut_knots, edge_mask=edge_mask)
         from ..ops.segment import segment_degree
 
         deg = segment_degree(receivers, x.shape[0], edge_mask)

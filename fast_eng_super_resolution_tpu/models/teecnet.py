@@ -98,7 +98,8 @@ class TEECNet:
         # shared KernelConv across layers (model.py:280-282): the per-edge
         # operator matrices are loop-invariant — compute once
         pre = precompute_edge_kernel(kern["edge_mlp"], edge_attr,
-                                     _leaky_relu, self.mode)
+                                     _leaky_relu, self.mode,
+                                     edge_mask=edge_mask)
         from ..ops.segment import segment_degree
 
         deg = segment_degree(receivers, x.shape[0], edge_mask)

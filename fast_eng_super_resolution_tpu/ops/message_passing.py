@@ -65,7 +65,8 @@ def resolve_mode(mode: str) -> str:
         backend = jax.default_backend()
     except Exception:
         backend = "cpu"
-    return "edge3d" if backend == "tpu" else "factored"
+    # 'axon' is the relay TPU backend (CLAUDE.md) — same chip, same winner
+    return "edge3d" if backend in ("tpu", "axon") else "factored"
 
 
 def apply_edge_mlp_hidden(params: list[dict], e: jnp.ndarray, activation) -> jnp.ndarray:
@@ -89,6 +90,7 @@ def precompute_edge_kernel(
     mode: Mode = "auto",
     kernel_dtype=None,
     lut_knots: int = 512,
+    edge_mask: jnp.ndarray | None = None,
 ):
     """Hoists the edge-attr-only part of the conv out of shared-weight loops.
 
@@ -103,8 +105,16 @@ def precompute_edge_kernel(
     if mode == "lut":
         knots = int(lut_knots)
         e_scalar = edge_attr[:, 0]
-        lo = jnp.min(e_scalar)
-        hi = jnp.max(e_scalar)
+        if edge_mask is not None:
+            # knot range over REAL edges only: padding slots carry
+            # edge_attr=1.0 (pad_graph), which on fine meshes (lengths
+            # ~1e-3) would stretch the table ~100x past the real range and
+            # collapse its resolution
+            lo = jnp.min(jnp.where(edge_mask, e_scalar, jnp.inf))
+            hi = jnp.max(jnp.where(edge_mask, e_scalar, -jnp.inf))
+        else:
+            lo = jnp.min(e_scalar)
+            hi = jnp.max(e_scalar)
         span = jnp.maximum(hi - lo, 1e-30)
         knot_attr = (lo + span * jnp.arange(knots) / (knots - 1))[:, None]
         hidden_k = apply_edge_mlp_hidden(edge_mlp, knot_attr, activation)
@@ -143,6 +153,7 @@ def edge_conditioned_conv(
     precomputed=None,
     degree: jnp.ndarray | None = None,
     edges_sorted: bool = False,
+    lut_knots: int = 512,
 ) -> jnp.ndarray:
     """One edge-conditioned convolution layer (single graph, static shapes).
 
@@ -191,7 +202,9 @@ def edge_conditioned_conv(
         else:
             hidden = value
     if mode == "lut" and lut is None:
-        lut = precompute_edge_kernel(edge_mlp, edge_attr, activation, mode)[1]
+        lut = precompute_edge_kernel(edge_mlp, edge_attr, activation, mode,
+                                     lut_knots=lut_knots,
+                                     edge_mask=edge_mask)[1]
     if mode != "lut" and hidden is None and w_e_flat is None:
         hidden = apply_edge_mlp_hidden(edge_mlp, edge_attr, activation)  # [E, K]
     if mode in ("edge", "edge3d") and w_e_flat is None:
@@ -239,9 +252,11 @@ def edge_conditioned_conv(
         aggregated = masked_segment_mean(msg, receivers, n, edge_mask,
                                          count=degree,
                                          indices_are_sorted=edges_sorted)
-    else:
+    elif aggr == "sum":
         aggregated = masked_segment_sum(msg, receivers, n, edge_mask,
                                         indices_are_sorted=edges_sorted)
+    else:
+        raise ValueError(f"unknown aggr {aggr!r} (expected mean | sum)")
 
     xr = x if root_input is None else root_input
     return aggregated + xr @ root + bias

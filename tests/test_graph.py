@@ -71,3 +71,28 @@ def test_sorted_edges_preserved_through_padding_and_merge(rng):
     assert all((np.diff(r[b]) >= 0).all() for b in range(r.shape[0]))
     merged, _ = merge_batch(batch)
     assert (np.diff(np.asarray(merged.receivers)) >= 0).all()
+
+
+def test_pad_bucket_reserves_padded_node():
+    """bucket_for reserves at least one PADDED node, because padded edges
+    point at node n_pad-1 — at n == n_pad that aliased a real node and
+    consumers without an edge_mask scattered spurious unit-length messages
+    into it (review finding)."""
+    import pytest
+
+    from fast_eng_super_resolution_tpu.core.graph import BucketSpec, pad_graph
+
+    spec = BucketSpec()
+    n_pad, _ = spec.bucket_for(256, 100)
+    assert n_pad > 256  # exact multiple still gets a padded node
+    with pytest.raises(ValueError, match="padded node"):
+        pad_graph(np.zeros((256, 2), np.float32), None,
+                  np.zeros((256, 3), np.float32),
+                  np.zeros(4, np.int64), np.zeros(4, np.int64),
+                  np.ones((4, 1), np.float32), 256, 1024)
+    # no padded edges -> exact node fit is fine (nothing can alias)
+    g = pad_graph(np.zeros((4, 2), np.float32), None,
+                  np.zeros((4, 3), np.float32),
+                  np.zeros(6, np.int64), np.zeros(6, np.int64),
+                  np.ones((6, 1), np.float32), 4, 6)
+    assert g.x.shape == (4, 2)
