@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 SEP = "/"
+_NONE_SENTINEL = "__none__"
 
 
 def flatten_params(params: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -28,8 +29,20 @@ def flatten_params(params: Any, prefix: str = "") -> dict[str, np.ndarray]:
     elif isinstance(params, (list, tuple)):
         for i, v in enumerate(params):
             out.update(flatten_params(v, f"{prefix}{i}{SEP}"))
+    elif params is None:
+        # None leaves (optional components, e.g. bias=None) round-trip via a
+        # pickle-free string sentinel: a pickled object array would SAVE
+        # fine but make the npz unloadable (np.load defaults to
+        # allow_pickle=False) — a checkpoint that only fails at serve time
+        out[prefix[:-1]] = np.array(_NONE_SENTINEL)
     else:
-        out[prefix[:-1]] = np.asarray(params)
+        arr = np.asarray(params)
+        if arr.dtype == object:
+            raise TypeError(
+                f"non-numeric leaf at {prefix[:-1]!r} "
+                f"({type(params).__name__}): .npz checkpoints store numeric "
+                "arrays (and None) only")
+        out[prefix[:-1]] = arr
     return out
 
 
@@ -74,7 +87,13 @@ def save_params(path: str, params: Any) -> None:
 
 def load_params(path: str) -> Any:
     with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
+        flat = {}
+        for k in z.files:
+            a = z[k]
+            if a.dtype.kind == "U" and a.shape == () and str(a) == _NONE_SENTINEL:
+                flat[k] = None
+            else:
+                flat[k] = a
     return unflatten_params(flat)
 
 

@@ -54,7 +54,15 @@ def build_node_neighbors(edges: np.ndarray, num_nodes: int,
 @partial(jax.jit, static_argnames=())
 def compute_weights(points: jnp.ndarray, nbr: jnp.ndarray, mask: jnp.ndarray
                     ) -> jnp.ndarray:
-    """Per-node LSQ gradient weights [N, 3, K] (GraphDataset.py:1509-1591)."""
+    """Per-node LSQ gradient weights [N, 3, K] (GraphDataset.py:1509-1591).
+
+    Drift note: the pinv comes from float32 normal equations (eigh of A^T A,
+    batchable on TPU), which squares the conditioning vs the reference's
+    float64 SVD — at near-degenerate nodes (true s_min/s_max ~ 1e-5) the
+    smallest singular value is below f32 eigh noise, so the cond>=1e8 /
+    thresh branches can differ from the reference there; the w_norm>100
+    fallback bounds the blast radius.  Exact parity holds away from these
+    boundaries (tested)."""
     n, k = nbr.shape
     v = points[nbr] - points[:, None, :]              # [N, K, 3]
     norm = jnp.linalg.norm(v, axis=2, keepdims=True)
@@ -150,7 +158,7 @@ def make_laplacian_matvec(nbr: jnp.ndarray, mask: jnp.ndarray, lw: jnp.ndarray):
 
 
 def make_consistent_matvec(nbr: jnp.ndarray, mask: jnp.ndarray,
-                           weights: jnp.ndarray):
+                           weights: jnp.ndarray, trace: bool = True):
     """The exact composite operator p -> div(grad_correction(p)).
 
     The reference solves an *inconsistent* system: its Laplacian
@@ -160,6 +168,12 @@ def make_consistent_matvec(nbr: jnp.ndarray, mask: jnp.ndarray,
     (:1994-2013).  Composing the actual discrete operators makes the Newton
     step exact: after solving  (D o G) p = div(v),  v - G p has (discretely)
     zero divergence up to Krylov tolerance.  Nonsymmetric -> BiCGStab.
+
+    ``trace`` selects the divergence applied to the correction field: the
+    TRUE trace (default) or the reference's 9-entry sum (trace=False) —
+    the composite must use the SAME divergence the outer loop measures, or
+    the solve minimizes one norm while progress is judged by another (the
+    faithful-mode stall found in review).
     """
 
     def grad_field(p):
@@ -169,7 +183,9 @@ def make_consistent_matvec(nbr: jnp.ndarray, mask: jnp.ndarray,
     def matvec(p):
         g = grad_field(p)
         dg = (g[nbr] - g[:, None, :]) * mask[..., None]
-        return jnp.einsum("ndk,nkd->n", weights, dg)
+        if trace:
+            return jnp.einsum("ndk,nkd->n", weights, dg)
+        return jnp.einsum("ndk,nkc->n", weights, dg)
 
     return matvec, grad_field
 

@@ -71,7 +71,11 @@ class DivergenceFreeProjection:
         """faithful=False (default): intended math — true-gradient LSQ weights
         and trace divergence.  faithful=True: bit-replica of the reference's
         numba operators (normalized-direction weights, 9-entry divergence sum)
-        for parity checking."""
+        for parity checking.
+
+        ``pressure`` is accepted for reference-API parity but serves only as
+        a shape template: the returned pressure is the projection solve's
+        own correction field, not an update of the input."""
         self.points = jnp.asarray(points, jnp.float32)
         nbr, mask = build_node_neighbors(np.asarray(edges), len(points), max_neighbors)
         self.nbr, self.mask = jnp.asarray(nbr), jnp.asarray(mask)
@@ -85,8 +89,10 @@ class DivergenceFreeProjection:
             self.weights = compute_gradient_weights(self.points, self.nbr, self.mask)
         self.lw = laplacian_weights(self.weights, self.mask)
         self.matvec, self.diag = make_laplacian_matvec(self.nbr, self.mask, self.lw)
+        # the composite operator must apply the SAME divergence the outer
+        # loop measures (faithful = the reference's 9-entry sum)
         self.consistent_matvec, self._grad_field = make_consistent_matvec(
-            self.nbr, self.mask, self.weights)
+            self.nbr, self.mask, self.weights, trace=not faithful)
 
     def calculate_divergence(self, velocity=None) -> jnp.ndarray:
         v = self.velocity if velocity is None else velocity
@@ -135,7 +141,11 @@ class DivergenceFreeProjection:
         # compensating for its operator mismatch.  Rollback still protects us.
         alpha = 1.0
         for it in range(max_iterations):
-            pressure = self.solve_pressure_poisson(div, tol=1e-5 * initial_norm)
+            # tol is RELATIVE to ||b|| inside jax cg — scaling it by
+            # initial_norm double-counts the field magnitude and makes the
+            # solve a no-op for large-norm (unnormalized) fields (review
+            # finding, measured: norm 6e6 field got ratio 1.000)
+            pressure = self.solve_pressure_poisson(div, tol=1e-5)
             p_norm = float(jnp.linalg.norm(pressure))
             if p_norm > 1e3 * initial_norm:  # :1957-1962
                 pressure = pressure * (1e3 * initial_norm / p_norm)
@@ -165,12 +175,14 @@ class DivergenceFreeProjection:
                 break
 
         self.velocity = best_v
-        final = float(jnp.linalg.norm(self.calculate_divergence(best_v)))
+        final = best_norm  # best_v's divergence norm, already tracked
         if final >= initial_norm:  # safety nets (:2029-2039)
             blended = original * 0.98 + best_v * 0.02
-            if float(jnp.linalg.norm(self.calculate_divergence(blended))) < initial_norm:
+            blended_norm = float(jnp.linalg.norm(
+                self.calculate_divergence(blended)))
+            if blended_norm < initial_norm:
                 self.velocity = blended
-                final = float(jnp.linalg.norm(self.calculate_divergence(blended)))
+                final = blended_norm
             else:
                 self.velocity = original
                 final = initial_norm

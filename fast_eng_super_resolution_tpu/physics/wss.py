@@ -28,6 +28,15 @@ def extract_boundary_faces(points: np.ndarray, cells: np.ndarray):
     exactly one cell; orientation fixed so normals point away from the owning
     cell's centroid (vtkPolyDataNormals consistency, :53-58).
     """
+    cells = np.asarray(cells)
+    if cells.ndim != 2 or cells.shape[1] != 4:
+        # hex/wedge/mixed meshes would silently be sliced as fake tets and
+        # produce a plausible-looking but wrong boundary surface
+        raise ValueError(
+            f"extract_boundary_faces expects tetrahedral [C, 4] cells, got "
+            f"shape {cells.shape}; convert mixed-element meshes to tets "
+            "first (the reference's vtkDataSetSurfaceFilter handled all "
+            "cell types)")
     f = cells[:, _TET_FACES].reshape(-1, 3)
     owner = np.repeat(np.arange(len(cells)), 4)
     key = np.sort(f, axis=1)
@@ -108,13 +117,11 @@ def compute_wall_shear_stress(points: np.ndarray, cells: np.ndarray,
 
         local = np.full(len(points), -1, np.int64)
         local[surf_ids] = np.arange(len(surf_ids))
-        wss_full = np.zeros((len(surf_ids), 3), np.float32)
-        wss_full[:] = tau
         write_vtp_polydata(
             output_filename.replace(".vtu", ".vtp"), points[surf_ids], local[faces],
             point_data={
                 "Normals": normals.astype(np.float32),
-                "WallShearStressVector": wss_full,
+                "WallShearStressVector": tau.astype(np.float32),
                 "WallShearStressMagnitude": mag.astype(np.float32),
             })
         print(f"Results written to: {output_filename.replace('.vtu', '.vtp')}")

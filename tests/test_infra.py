@@ -269,3 +269,20 @@ def test_multihost_init_two_cpu_processes(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, (out, err[-2000:])
         assert "MULTIHOST_OK" in out
+
+
+def test_checkpoint_none_leaf_roundtrip(tmp_path):
+    """None leaves (optional components) round-trip through save/load:
+    before, save_params pickled them into an npz that load_params could not
+    read back (allow_pickle=False) — a checkpoint that only failed at serve
+    time (review finding)."""
+    from fast_eng_super_resolution_tpu.core import checkpoint as ckpt
+
+    params = {"w": np.ones((2, 2), np.float32), "bias": None,
+              "nested": {"b": None, "a": np.arange(3)}}
+    path = str(tmp_path / "p.npz")
+    ckpt.save_params(path, params)
+    out = ckpt.load_params(path)
+    assert out["bias"] is None and out["nested"]["b"] is None
+    np.testing.assert_array_equal(out["w"], params["w"])
+    np.testing.assert_array_equal(out["nested"]["a"], params["nested"]["a"])
