@@ -24,9 +24,26 @@ import numpy as np
 from .fluent_mesh import FaceZone, FluentMesh
 
 
+def _sorted_keys(group):
+    return sorted(group.keys(), key=lambda k: int(k) if k.isdigit() else 1 << 30)
+
+
 def _first_key(group):
-    keys = sorted(group.keys(), key=lambda k: int(k) if k.isdigit() else 1 << 30)
-    return keys[0]
+    return _sorted_keys(group)[0]
+
+
+def _concat_sections(group, reshape3: bool = False) -> np.ndarray:
+    """Concatenates ALL numbered sections of a CFF dataset group in sid
+    order.  Producers commonly write one section per zone — reading only
+    the first section would make the zoneTopology minId/maxId ranges index
+    out of (or into the wrong part of) the data."""
+    parts = []
+    for k in _sorted_keys(group):
+        a = np.asarray(group[k])
+        if reshape3 and a.ndim == 1:
+            a = a.reshape(-1, 3)
+        parts.append(a)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def read_cas_h5(path: str) -> FluentMesh:
@@ -37,10 +54,8 @@ def read_cas_h5(path: str) -> FluentMesh:
             raise KeyError(f"{path}: no /meshes group (not a CFF case file?)")
         mesh_grp = f["meshes"][_first_key(f["meshes"])]
 
-        coords = np.asarray(mesh_grp["nodes/coords"][_first_key(mesh_grp["nodes/coords"])])
-        points = coords.astype(np.float32)
-        if points.ndim == 1:
-            points = points.reshape(-1, 3)
+        points = _concat_sections(mesh_grp["nodes/coords"],
+                                  reshape3=True).astype(np.float32)
 
         zt = mesh_grp["faces/zoneTopology"]
         zone_ids = np.asarray(zt["id"]).astype(int)
@@ -55,11 +70,19 @@ def read_cas_h5(path: str) -> FluentMesh:
         else:
             names = [str(raw_names)]
 
-        fn_grp = mesh_grp["faces/nodes"][_first_key(mesh_grp["faces/nodes"])]
-        nnodes = np.asarray(fn_grp["nnodes"]).astype(np.int64)
-        flat_nodes = np.asarray(fn_grp["nodes"]).astype(np.int64) - 1
-        c0 = np.asarray(mesh_grp["faces/c0"][_first_key(mesh_grp["faces/c0"])]).astype(np.int64) - 1
-        c1 = np.asarray(mesh_grp["faces/c1"][_first_key(mesh_grp["faces/c1"])]).astype(np.int64) - 1
+        fn_grp = mesh_grp["faces/nodes"]
+        fn_sids = _sorted_keys(fn_grp)
+        nnodes = np.concatenate([np.asarray(fn_grp[k]["nnodes"])
+                                 for k in fn_sids]).astype(np.int64)
+        flat_nodes = np.concatenate([np.asarray(fn_grp[k]["nodes"])
+                                     for k in fn_sids]).astype(np.int64) - 1
+        c0 = _concat_sections(mesh_grp["faces/c0"]).astype(np.int64) - 1
+        c1 = _concat_sections(mesh_grp["faces/c1"]).astype(np.int64) - 1
+        if len(max_ids) and max_ids.max() > len(nnodes):
+            raise ValueError(
+                f"{path}: zoneTopology maxId {max_ids.max()} exceeds the "
+                f"{len(nnodes)} faces found across faces/nodes sections "
+                "(incomplete or reordered CFF sections)")
 
         offsets = np.concatenate([[0], np.cumsum(nnodes)])
         zones = []

@@ -37,7 +37,18 @@ from .fluent_mesh import BC_INTERIOR, BC_WALL, FaceZone, FluentMesh
 _FACE_NNODES = {2: 2, 3: 3, 4: 4}  # linear/tri/quad face types
 _BINARY_NODE_SECTIONS = {2010: np.float64, 3010: np.float32}
 _BINARY_FACE_SECTIONS = {2013: np.int32, 3013: np.int32}
-_END_BINARY = re.compile(rb"End\s+of\s+Binary\s+Section\s+\d+\)?")
+_END_BINARY = re.compile(rb"End\s+of\s+Binary\s+Section\s+(\d+)\)?")
+
+
+def _grow_points(points, last: int):
+    """Size the coordinate array to cover node id ``last`` — split/multi-zone
+    node sections each carry only their own range, and the zid-0 declaration
+    (which has the global count) may not have been seen yet."""
+    if points is None:
+        return np.zeros((last, 3), np.float64)
+    if len(points) < last:
+        return np.vstack([points, np.zeros((last - len(points), 3))])
+    return points
 
 
 def _tokenize_sections(text: str):
@@ -161,8 +172,7 @@ def read_msh(path: str) -> FluentMesh:
             coords = coords.reshape(count, nd).astype(np.float64)
             if nd == 2:
                 coords = np.concatenate([coords, np.zeros((count, 1))], 1)
-            if points is None:
-                points = np.zeros((last, 3), np.float64)
+            points = _grow_points(points, last)
             points[first - 1:last] = coords
             end = start + nbytes
         else:
@@ -174,13 +184,27 @@ def read_msh(path: str) -> FluentMesh:
                 buf = data[start:start + nbytes]
                 end = start + nbytes
             else:
+                # variable-length payload: the section's OWN trailer bounds
+                # it — a trailer carrying a different section number means
+                # this section never terminated (fail loudly instead of
+                # swallowing every section in between)
                 tail = _END_BINARY.search(data, start)
+                if tail is not None and int(tail.group(1)) != index:
+                    raise ValueError(
+                        f".msh binary section {index}: found 'End of Binary "
+                        f"Section {int(tail.group(1))}' before this "
+                        "section's own trailer — unterminated section")
                 stop = tail.start() if tail else len(data)
                 buf = data[start:stop].rstrip(b")\n\r\t (")
                 end = stop
             faces, c0, c1 = _parse_binary_faces(buf, count, ftype, dtype)
             raw_face_zones.append((zid, bctype, faces, c0, c1))
-        tail = _END_BINARY.search(data, end)
+        # the trailer sits immediately after the payload; an unbounded
+        # search could lock onto a LATER section's trailer and skip every
+        # section in between
+        tail = _END_BINARY.search(data, end, end + 200)
+        if tail is not None and int(tail.group(1)) != index:
+            tail = None
         end = tail.end() if tail else end
         text_parts.append(data[cursor:m.start()])
         cursor = end
@@ -194,16 +218,15 @@ def read_msh(path: str) -> FluentMesh:
             args = [int(a, 16) for a in header.split()[:4]]
             zid, first, last = args[0], args[1], args[2]
             if zid == 0:
-                if points is None:  # binary sections may have filled it already
-                    points = np.zeros((last - first + 1, 3), np.float64)
+                # binary sections may have filled (part of) it already
+                points = _grow_points(points, last)
             else:
                 coords = np.array(payload.split(), dtype=np.float64)
                 nd = coords.size // (last - first + 1)
                 coords = coords.reshape(-1, nd)
                 if nd == 2:
                     coords = np.concatenate([coords, np.zeros((len(coords), 1))], 1)
-                if points is None:
-                    points = np.zeros((last, 3), np.float64)
+                points = _grow_points(points, last)
                 points[first - 1:last] = coords
         elif index == 12:
             args = [int(a, 16) for a in header.split()[:4]]
@@ -252,8 +275,11 @@ def write_msh(path: str, mesh: FluentMesh, binary: bool = False) -> None:
     else:
         coord_lines = "\n".join(" ".join(f"{v:.9e}" for v in p) for p in mesh.points)
         chunks.append(f"(10 (1 1 {n:x} 1 3)(\n{coord_lines}\n))\n".encode())
+    # cell zone id must not collide with any FACE zone id: the (45) name
+    # entry below would otherwise overwrite that face zone's name on read
+    cell_zid = max((z.zone_id for z in mesh.face_zones), default=1) + 1
     chunks.append(f"(12 (0 1 {mesh.num_cells:x} 0))\n".encode())
-    chunks.append(f"(12 (2 1 {mesh.num_cells:x} 1 2))\n".encode())
+    chunks.append(f"(12 ({cell_zid:x} 1 {mesh.num_cells:x} 1 2))\n".encode())
 
     first = 1
     for zone in mesh.face_zones:
@@ -285,6 +311,6 @@ def write_msh(path: str, mesh: FluentMesh, binary: bool = False) -> None:
     for zone in mesh.face_zones:
         ztype, _, zname = zone.name.partition(":")
         chunks.append(f"(45 ({zone.zone_id} {ztype} {zname or ztype})())\n".encode())
-    chunks.append(f"(45 (2 interior {mesh.cell_zone_name})())\n".encode())
+    chunks.append(f"(45 ({cell_zid} interior {mesh.cell_zone_name})())\n".encode())
     with open(path, "wb") as f:
         f.write(b"".join(chunks))

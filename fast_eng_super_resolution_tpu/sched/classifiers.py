@@ -152,6 +152,8 @@ class MeanShiftClassifier(Classifier):
 
     @staticmethod
     def _estimate_bandwidth(x: np.ndarray, quantile: float = 0.3) -> float:
+        if len(x) < 2:  # no pairwise distances to estimate from
+            return 1.0
         d = _euclidean(x, x)
         k = max(1, int(quantile * len(x)))
         knn = np.sort(d, axis=1)[:, 1:k + 1]
@@ -281,14 +283,23 @@ class WassersteinKMeansClassifier(KMeansClassifier):
 
 
 def init_classifier(type: str, n_clusters: int, **kwargs) -> Classifier:
-    """Classifier factory (reference utils.py:66-74 + 'gmm' exposed)."""
-    if type == "kmeans":
-        return KMeansClassifier(n_clusters=n_clusters)
-    if type == "mean_shift":
-        return MeanShiftClassifier()
-    if type == "gmm":
-        return GaussianMixtureClassifier(n_clusters=n_clusters)
-    if type == "wasserstein":
-        return WassersteinKMeansClassifier(n_clusters=n_clusters)
-    else:
+    """Classifier factory (reference utils.py:66-74 + 'gmm' exposed).
+
+    Exp-config keys matching a constructor parameter (random_state,
+    max_iter, bandwidth, n_init, ...) are forwarded; the rest of the config
+    dict is ignored, as before.  Silently dropping ALL kwargs meant config
+    hyperparameters never reached the classifiers (review finding)."""
+    import inspect
+
+    table = {"kmeans": KMeansClassifier, "mean_shift": MeanShiftClassifier,
+             "gmm": GaussianMixtureClassifier,
+             "wasserstein": WassersteinKMeansClassifier}
+    cls = table.get(type)
+    if cls is None:
         raise ValueError(f"Invalid classifier type: {type}")
+    accepted = set(inspect.signature(cls.__init__).parameters) - {
+        "self", "n_clusters"}
+    kw = {k: v for k, v in kwargs.items() if k in accepted}
+    if cls is MeanShiftClassifier:  # no n_clusters (mode-seeking)
+        return cls(**kw)
+    return cls(n_clusters=n_clusters, **kw)

@@ -58,10 +58,23 @@ class PCAEncoder(Encoder):
         self.min_length: int | None = None
 
     def _flatten(self, feats: list[np.ndarray]) -> np.ndarray:
-        min_len = min(f.shape[0] for f in feats)
-        if self.min_length is not None:
-            min_len = min(min_len, self.min_length)
-        return np.stack([f[:min_len].reshape(-1) for f in feats]), min_len
+        """At train time the row length is the batch minimum (reference
+        behavior, encoder.py:134-139).  At transform time it is the FIT-time
+        min_length, applied PER ROW (truncate long, zero-pad short): a
+        global batch-min would make a subdomain's latent — and its expert
+        routing — depend on which other subdomains share the request
+        (review finding)."""
+        if self.min_length is None:
+            min_len = min(f.shape[0] for f in feats)
+        else:
+            min_len = self.min_length
+        rows = []
+        for f in feats:
+            row = f[:min_len]
+            if row.shape[0] < min_len:
+                row = np.pad(row, ((0, min_len - row.shape[0]), (0, 0)))
+            rows.append(row.reshape(-1))
+        return np.stack(rows), min_len
 
     def train(self, dataset, save_model: bool = False, path: str | None = None):
         feats = _collect_node_features(dataset)
@@ -162,6 +175,23 @@ class VAEEncoder(Encoder):
                 h = cls._dropout(h, dropout, jax.random.fold_in(key, 100 + i))
         return linear(params["dec"][-1], h)
 
+    @staticmethod
+    def _pad_bucket(x: np.ndarray, multiple: int = 256):
+        """Zero-pad the node axis to a bucket multiple + a real-row mask.
+
+        Variable node counts would retrace/recompile every jit once per
+        distinct count, and un-jitted per-sample encodes cost ~2*layers
+        eager dispatches each (~0.5 s over the relay tunnel, CLAUDE.md
+        'eager loops are death').  Masked sums keep the loss numerically
+        identical to the unpadded reference math."""
+        n = x.shape[0]
+        n_pad = ((n + multiple - 1) // multiple) * multiple
+        xp = np.zeros((n_pad, x.shape[1]), np.float32)
+        xp[:n] = x
+        mask = np.zeros(n_pad, np.float32)
+        mask[:n] = 1.0
+        return xp, mask
+
     def train(self, dataset, save_model: bool = False, path: str | None = None):
         import jax
         import jax.numpy as jnp
@@ -172,28 +202,31 @@ class VAEEncoder(Encoder):
         opt = optax.adam(self.lr)
         opt_state = opt.init(self.params)
 
-        def loss_fn(params, x, key):
+        def loss_fn(params, x, mask, key):
             k_eps, k_drop = jax.random.split(key)
             mu, logvar = self._encode(params, x, self.dropout, k_drop)
             eps = jax.random.normal(k_eps, mu.shape)
             z = mu + eps * jnp.exp(0.5 * logvar)
             x_hat = self._decode(params, z, self.dropout, k_drop)
-            mse = jnp.sum((x_hat - x) ** 2)  # reduction='sum' (encoder.py:171)
-            kld = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar))
+            m = mask[:, None]
+            mse = jnp.sum((x_hat - x) ** 2 * m)  # reduction='sum' (encoder.py:171)
+            kld = -0.5 * jnp.sum((1 + logvar - mu**2 - jnp.exp(logvar)) * m)
             return mse + kld
 
         @jax.jit
-        def step(params, opt_state, x, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, key)
+        def step(params, opt_state, x, mask, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, mask, key)
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        padded = [self._pad_bucket(np.asarray(x)) for x in feats]
         key = jax.random.PRNGKey(self.seed + 1)
         for _ in range(self.epochs):
-            for x in feats:
+            for xp, mask in padded:
                 key, sub = jax.random.split(key)
                 self.params, opt_state, _ = step(self.params, opt_state,
-                                                 jnp.asarray(x), sub)
+                                                 jnp.asarray(xp),
+                                                 jnp.asarray(mask), sub)
         if save_model:
             dump(jax.device_get(self.params), os.path.join(path, "vae_encoder.joblib"))
 
@@ -202,15 +235,40 @@ class VAEEncoder(Encoder):
         import jax.numpy as jnp
 
         feats = _collect_node_features(dataset)
+        fn = getattr(self, "_latent_jit", None)
+        if fn is None:
+            def pooled(params, x, mask, key):
+                mu, logvar = self._encode(params, x)
+                eps = jax.random.normal(key, mu.shape)
+                z = mu + eps * jnp.exp(0.5 * logvar)
+                denom = jnp.maximum(jnp.sum(mask), 1.0)
+                return jnp.sum(z * mask[:, None], axis=0) / denom
+
+            # batched over same-bucket subdomains: ONE dispatch per distinct
+            # padded shape per request instead of ~2*layers eager ops per
+            # subdomain (this sits on the routed serving path)
+            fn = self._latent_jit = jax.jit(jax.vmap(pooled,
+                                                     in_axes=(None, 0, 0, 0)))
+
+        groups: dict[int, list[int]] = {}
+        padded = []
+        for i, x in enumerate(feats):
+            xp, mask = self._pad_bucket(np.asarray(x))
+            padded.append((xp, mask))
+            groups.setdefault(xp.shape[0], []).append(i)
+
         key = jax.random.PRNGKey(self.seed + 2)
-        out = []
-        for x in feats:
-            mu, logvar = self._encode(self.params, jnp.asarray(x))
+        out = np.zeros((len(feats), self.n_components), np.float32)
+        for n_pad in sorted(groups):
+            idxs = groups[n_pad]
+            xs = jnp.asarray(np.stack([padded[i][0] for i in idxs]))
+            masks = jnp.asarray(np.stack([padded[i][1] for i in idxs]))
             key, sub = jax.random.split(key)
-            eps = jax.random.normal(sub, mu.shape)
-            z = mu + eps * jnp.exp(0.5 * logvar)
-            out.append(np.asarray(z.mean(axis=0)))  # per-subdomain pooled latent
-        return np.stack(out)
+            keys = jax.random.split(sub, len(idxs))
+            zs = np.asarray(fn(self.params, xs, masks, keys))
+            for row, i in enumerate(idxs):
+                out[i] = zs[row]
+        return out
 
     def load_model(self, path: str):
         self.params = load(os.path.join(path, "vae_encoder.joblib"))

@@ -195,3 +195,95 @@ def test_handmade_cff_fixture(tmp_path):
     _check_two_tet_mesh(fm)
     assert [z.name for z in fm.face_zones] == ["interior:default-interior",
                                                "wall:walls"]
+
+
+def test_cff_multi_section_read(tmp_path):
+    """CFF files with one section PER ZONE (common producer layout) must
+    concatenate sections in sid order — reading only the first section made
+    zoneTopology ranges index out of the data (review finding)."""
+    import h5py
+
+    from fast_eng_super_resolution_tpu.data.fluent_cff import read_cas_h5
+
+    path = str(tmp_path / "multi.cas.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("meshes/1")
+        # nodes split across two sections
+        g.create_dataset("nodes/coords/1",
+                         data=_TWO_TET_POINTS[:3].astype(np.float64))
+        g.create_dataset("nodes/coords/2",
+                         data=_TWO_TET_POINTS[3:].astype(np.float64))
+        faces = [[2, 3, 4],
+                 [1, 2, 3], [1, 2, 4], [1, 3, 4],
+                 [2, 3, 5], [2, 4, 5], [3, 4, 5]]
+        # faces split: section 1 = interior zone (1 face), 2 = walls (6)
+        g.create_dataset("faces/nodes/1/nnodes", data=np.full(1, 3, np.int64))
+        g.create_dataset("faces/nodes/1/nodes",
+                         data=np.concatenate(faces[:1]).astype(np.int64))
+        g.create_dataset("faces/nodes/2/nnodes", data=np.full(6, 3, np.int64))
+        g.create_dataset("faces/nodes/2/nodes",
+                         data=np.concatenate(faces[1:]).astype(np.int64))
+        g.create_dataset("faces/c0/1", data=np.array([1], np.int64))
+        g.create_dataset("faces/c0/2",
+                         data=np.array([1, 1, 1, 2, 2, 2], np.int64))
+        g.create_dataset("faces/c1/1", data=np.array([2], np.int64))
+        g.create_dataset("faces/c1/2", data=np.zeros(6, np.int64))
+        zt = g.create_group("faces/zoneTopology")
+        zt.create_dataset("id", data=np.array([3, 10], np.int64))
+        zt.create_dataset("zoneType", data=np.array([2, 3], np.int64))
+        zt.create_dataset("minId", data=np.array([1, 2], np.int64))
+        zt.create_dataset("maxId", data=np.array([1, 7], np.int64))
+        zt.create_dataset("name",
+                          data=np.array([b"interior:default-interior",
+                                         b"wall:walls"]))
+        g.create_dataset("cells/zoneTopology/maxId",
+                         data=np.array([2], np.int64))
+    fm = read_cas_h5(path)
+    _check_two_tet_mesh(fm)
+
+
+def test_msh_split_binary_node_sections(tmp_path):
+    """Binary .msh with the node range split across two (3010) sections:
+    the points array must grow to cover max(last), not be frozen at the
+    first section's size (review finding)."""
+    from fast_eng_super_resolution_tpu.data.fluent_msh import read_msh
+
+    pts = _TWO_TET_POINTS.astype(np.float32)
+    chunks = [b'(0 "split binary nodes")\n(2 3)\n']
+    chunks.append(b"(10 (0 1 5 0 3))\n")
+    chunks.append(b"(3010 (5 1 3 1 3)(")
+    chunks.append(np.ascontiguousarray(pts[:3]).tobytes())
+    chunks.append(b")\nEnd of Binary Section 3010)\n")
+    chunks.append(b"(3010 (6 4 5 1 3)(")
+    chunks.append(np.ascontiguousarray(pts[3:]).tobytes())
+    chunks.append(b")\nEnd of Binary Section 3010)\n")
+    chunks.append(b"(12 (0 1 2 0))\n")
+    # one wall face zone so the mesh has some topology
+    chunks.append(b"(13 (7 1 1 3 3)(\n1 2 3 1 0\n))\n")
+    chunks.append(b'(45 (7 wall walls)())\n')
+    path = str(tmp_path / "split.msh")
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+    fm = read_msh(path)
+    np.testing.assert_allclose(fm.points, pts, rtol=1e-6)
+    assert fm.face_zones[0].name == "wall:walls"
+
+
+def test_msh_roundtrip_face_zone_id_2(tmp_path):
+    """A FACE zone with id 2 must keep its name through write+read: the
+    writer's cell-zone (45) entry previously hard-coded id 2 and overwrote
+    it (review finding)."""
+    from fast_eng_super_resolution_tpu.data.fluent_mesh import (FaceZone,
+                                                                FluentMesh)
+    from fast_eng_super_resolution_tpu.data.fluent_msh import read_msh, write_msh
+
+    faces = np.array([[0, 1, 2]], np.int64)
+    fm = FluentMesh(points=_TWO_TET_POINTS.astype(np.float32),
+                    face_zones=[FaceZone(2, 3, "wall:top", faces,
+                                         np.array([0]), np.array([-1]))],
+                    num_cells=2)
+    path = str(tmp_path / "zid2.msh")
+    write_msh(path, fm)
+    back = read_msh(path)
+    assert back.face_zones[0].zone_id == 2
+    assert back.face_zones[0].name == "wall:top"

@@ -157,3 +157,21 @@ def test_kmeans_duplicate_latents_no_crash(rng):
     labels = clf.cluster(x)
     assert labels.shape == (10,)
     assert (labels >= 0).all() and (labels < 4).all()
+
+
+def test_pca_latent_batch_independent():
+    """A subdomain's latent must not depend on which other subdomains share
+    the transform batch: the old global batch-min truncation changed a
+    big subdomain's latent (and potentially its expert) whenever a smaller
+    one was in the same request (review finding)."""
+    from fast_eng_super_resolution_tpu.sched.encoders import PCAEncoder
+
+    rng = np.random.default_rng(0)
+    big1 = {"x": rng.normal(size=(300, 4)).astype(np.float32)}
+    big2 = {"x": rng.normal(size=(300, 4)).astype(np.float32)}
+    small = {"x": rng.normal(size=(100, 4)).astype(np.float32)}
+    enc = PCAEncoder(n_components=2)
+    enc.train([big1, big2, {"x": rng.normal(size=(280, 4)).astype(np.float32)}])
+    a = enc.get_latent_space([big1, big2])[0]
+    b = enc.get_latent_space([big1, small])[0]
+    np.testing.assert_allclose(a, b, rtol=1e-6)
