@@ -44,6 +44,18 @@ def _load():
     except OSError:
         return None
 
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale prebuilt .so missing a later-added symbol: honor the module
+        # contract (every entry point falls back to numpy) instead of
+        # crashing every wrapper
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     lib.cells_to_edges.restype = ctypes.c_int64
     lib.cells_to_edges.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
@@ -77,8 +89,6 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

@@ -68,7 +68,7 @@ def infer_cell_types(cells, dim: int = 3) -> np.ndarray:
     return np.array([lookup(len(c)) for c in cells], np.uint8)
 
 
-def cells_to_edges(cells: np.ndarray, num_nodes: int | None = None) -> np.ndarray:
+def cells_to_edges(cells: np.ndarray) -> np.ndarray:
     """Directed edge list from cell cliques (both directions, deduplicated).
 
     Equivalent to the reference's per-cell j<k double loop over point pairs
@@ -133,13 +133,28 @@ def normalize_fields(velocity: np.ndarray, pressure: np.ndarray,
 
     'ansys' (GraphDataset.py:960-976): v /= max|v|; p -> (p-min)/max(p-min).
     'duct'  (GraphDataset.py:366-381): v /= max|v|; p /= max(p).
+
+    Degenerate fields (constant pressure -> 0/0 NaN, zero velocity,
+    non-positive duct pressure max flipping the sign) skip the divide with
+    a warning instead of silently poisoning downstream caches.
     """
-    v = velocity / np.max(np.abs(velocity))
+    vmax = float(np.max(np.abs(velocity))) if velocity.size else 0.0
+    if np.isfinite(vmax) and vmax > 0:
+        v = velocity / vmax
+    else:
+        print(f"Warning: degenerate velocity normalization (max |v| = "
+              f"{vmax}); leaving unscaled")
+        v = velocity
     if style == "ansys":
         p = pressure - np.min(pressure)
-        p = p / np.max(p)
     else:
-        p = pressure / np.max(pressure)
+        p = pressure
+    pmax = float(np.max(p)) if p.size else 0.0
+    if np.isfinite(pmax) and pmax > 0:
+        p = p / pmax
+    else:
+        print(f"Warning: degenerate pressure normalization (max = {pmax}); "
+              "leaving unscaled")
     return v.astype(np.float32), p.astype(np.float32)
 
 

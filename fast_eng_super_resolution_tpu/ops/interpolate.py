@@ -40,7 +40,12 @@ def build_neighbor_lists(src_points: np.ndarray, dst_points: np.ndarray,
     if empty.any():
         d_nn, i_nn = tree.query(dst_points[empty], k=1, workers=-1)
         idxs[empty, 0] = i_nn
-        dists[empty, 0] = d_nn
+        # clamp the stored distance to the radius: past ~5x radius the f32
+        # Gaussian weight underflows to exactly 0 and the fallback would
+        # return a silent zero field instead of the nearest value; the row
+        # has ONE unmasked neighbor, so normalization makes any positive
+        # weight equivalent to weight 1
+        dists[empty, 0] = np.minimum(d_nn, radius)
         mask[empty, 0] = True
     return idxs.astype(np.int32), dists.astype(np.float32), mask
 

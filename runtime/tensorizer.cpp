@@ -129,6 +129,39 @@ static int rcb_split(const double* pts, std::vector<int64_t>& idx,
   }
   int n_left = parts / 2;
   int64_t count = hi - lo;
+  if (count < 2) {
+    // fewer points than parts (degenerate mesh): cut the BOX midpoint (or
+    // the lone point's coordinate) and recurse so every label still gets a
+    // possibly-empty region — nth_element on a <2-point range is UB and
+    // idx[lo + k] would read past the subrange.  Mirrors the pure-Python
+    // guard in partition.py:rcb_regions.
+    int axis = 0;
+    double span = -1;
+    for (int d = 0; d < 3; ++d) {
+      if (box_hi[d] - box_lo[d] > span) {
+        span = box_hi[d] - box_lo[d];
+        axis = d;
+      }
+    }
+    double cut = count == 1 ? pts[idx[lo] * 3 + axis]
+                            : 0.5 * (box_lo[axis] + box_hi[axis]);
+    double lo_l[3], hi_l[3], lo_r[3], hi_r[3];
+    std::memcpy(lo_l, box_lo, sizeof(lo_l));
+    std::memcpy(hi_l, box_hi, sizeof(hi_l));
+    std::memcpy(lo_r, box_lo, sizeof(lo_r));
+    std::memcpy(hi_r, box_hi, sizeof(hi_r));
+    hi_l[axis] = cut;
+    lo_r[axis] = cut;
+    int left = rcb_split(pts, idx, lo, hi, n_left, next_label, assign, boxes,
+                         lo_l, hi_l, tree);
+    int right = rcb_split(pts, idx, hi, hi, parts - n_left, next_label,
+                          assign, boxes, lo_r, hi_r, tree);
+    if (tree) {
+      tree->push_back({axis, cut, left, right, -1});
+      return static_cast<int>(tree->size()) - 1;
+    }
+    return -1;
+  }
   int64_t k = static_cast<int64_t>(
       static_cast<double>(n_left) / parts * count + 0.5);
   k = std::max<int64_t>(1, std::min<int64_t>(k, count - 1));

@@ -330,3 +330,44 @@ def test_uniform_box_keys_collision_free():
         cent = mesh.points[mesh.cells[s.cell_ids]].mean(axis=1)
         bins = np.floor((cent - lo) / 0.3).astype(np.int64)
         assert len(np.unique(bins, axis=0)) == 1
+
+
+def test_native_rcb_degenerate_more_parts_than_cells():
+    """The NATIVE RCB path must survive num_parts > cell count like the
+    pure-Python guard does (review finding: nth_element on a <2-point range
+    was undefined behavior)."""
+    from fast_eng_super_resolution_tpu.data.partition import assign_cells
+
+    points = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    cells = np.array([[0, 1, 2, 3]])
+    for mode in ("one_region", "all_intersecting"):
+        lists, boxes = assign_cells(points, cells, 8, mode)
+        assert len(lists) == 8 and len(boxes) == 8
+        assert sum(len(c) for c in lists) >= 1
+
+
+def test_interpolation_far_fallback_returns_nearest():
+    """A dst node far outside the source cloud gets the NEAREST source
+    value: the raw far distance underflowed the f32 Gaussian to 0 and the
+    fallback silently returned a zero field (review finding)."""
+    from fast_eng_super_resolution_tpu.ops.interpolate import (
+        gaussian_interpolate_host)
+
+    src = np.zeros((3, 3))
+    src[:, 0] = [1.0, 2.0, 3.0]
+    vals = np.array([[10.0], [20.0], [30.0]])
+    dst = np.array([[100.0, 0.0, 0.0]])
+    out = gaussian_interpolate_host(src, vals, dst, radius=0.5)
+    np.testing.assert_allclose(out, [[30.0]], rtol=1e-5)
+
+
+def test_normalize_fields_degenerate_guard():
+    """Constant pressure / zero velocity must not write NaN (review
+    finding; matches the ETL renormalizer guards)."""
+    from fast_eng_super_resolution_tpu.data.tensorize import normalize_fields
+
+    v, p = normalize_fields(np.zeros((4, 3)), np.full(4, 7.0), "ansys")
+    assert np.isfinite(v).all() and np.isfinite(p).all()
+    v2, p2 = normalize_fields(np.ones((4, 3)), -np.ones(4), "duct")
+    assert np.isfinite(v2).all() and np.isfinite(p2).all()
+    assert (p2 == -1).all()  # non-positive max: left unscaled, sign intact
