@@ -29,6 +29,22 @@ _DTYPES = {
 _NAMES = {v: k for k, v in _DTYPES.items()}
 
 
+def _flatten_cells(cells) -> tuple[np.ndarray, np.ndarray, int]:
+    """(connectivity, offsets, n_cells) from uniform [C, K] or ragged cells
+    (one implementation shared by the VTU and VTP writers)."""
+    if isinstance(cells, np.ndarray) and cells.ndim == 2:
+        connectivity = cells.reshape(-1).astype(np.int32)
+        offsets = (np.arange(1, cells.shape[0] + 1)
+                   * cells.shape[1]).astype(np.int32)
+        return connectivity, offsets, cells.shape[0]
+    if not len(cells):
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), 0
+    connectivity = np.concatenate(
+        [np.asarray(c).ravel() for c in cells]).astype(np.int32)
+    offsets = np.cumsum([len(c) for c in cells]).astype(np.int32)
+    return connectivity, offsets, len(cells)
+
+
 def _b64(arr: np.ndarray) -> str:
     raw = np.ascontiguousarray(arr).tobytes()
     return base64.b64encode(struct.pack("<Q", len(raw)) + raw).decode("ascii")
@@ -56,14 +72,7 @@ def write_vtu(path: str, points: np.ndarray, cells: np.ndarray,
       point_data / cell_data: name -> [N(,c)] / [C(,c)] arrays.
     """
     points = np.asarray(points, np.float32)
-    if isinstance(cells, np.ndarray) and cells.ndim == 2:
-        connectivity = cells.reshape(-1).astype(np.int32)
-        offsets = (np.arange(1, cells.shape[0] + 1) * cells.shape[1]).astype(np.int32)
-        ncells = cells.shape[0]
-    else:
-        connectivity = np.concatenate([np.asarray(c).ravel() for c in cells]).astype(np.int32)
-        offsets = np.cumsum([len(c) for c in cells]).astype(np.int32)
-        ncells = len(cells)
+    connectivity, offsets, ncells = _flatten_cells(cells)
     cell_types = np.asarray(cell_types, np.uint8)
 
     parts = [
@@ -95,7 +104,10 @@ def write_vtu(path: str, points: np.ndarray, cells: np.ndarray,
         f.write("\n".join(parts))
 
 
-def _decode_data_array(el: ET.Element) -> np.ndarray:
+_HEADER = {"UInt64": ("<Q", 8), "UInt32": ("<I", 4)}
+
+
+def _decode_data_array(el: ET.Element, header_type: str = "UInt64") -> np.ndarray:
     dtype = _DTYPES[el.get("type")]
     ncomp = int(el.get("NumberOfComponents", "1"))
     fmt = el.get("format", "binary")
@@ -103,9 +115,13 @@ def _decode_data_array(el: ET.Element) -> np.ndarray:
     if fmt == "ascii":
         arr = np.array(text.split(), dtype=float).astype(dtype) if text else np.zeros(0, dtype)
     elif fmt == "binary":
+        # the byte-count prefix width follows the file's header_type —
+        # unpacking a UInt32 header as UInt64 would swallow the first 4
+        # data bytes and corrupt every array
+        hfmt, hsize = _HEADER[header_type]
         raw = base64.b64decode(text)
-        (nbytes,) = struct.unpack("<Q", raw[:8])
-        arr = np.frombuffer(raw[8:8 + nbytes], dtype=dtype).copy()
+        (nbytes,) = struct.unpack(hfmt, raw[:hsize])
+        arr = np.frombuffer(raw[hsize:hsize + nbytes], dtype=dtype).copy()
     else:
         raise ValueError(f"unsupported DataArray format: {fmt}")
     if ncomp > 1:
@@ -121,15 +137,23 @@ def read_vtu(path: str) -> dict:
     """
     tree = ET.parse(path)
     root = tree.getroot()
-    if root.get("header_type", "UInt64") not in ("UInt64", "UInt32"):
-        raise ValueError("unsupported header_type")
+    header_type = root.get("header_type", "UInt64")
+    if header_type not in _HEADER:
+        raise ValueError(f"unsupported header_type {header_type!r}")
+    if root.get("compressor"):
+        raise ValueError(
+            f"compressed VTU not supported (compressor="
+            f"{root.get('compressor')!r}); write with compression disabled")
     piece = root.find(".//Piece")
     out: dict = {"point_data": {}, "cell_data": {}}
 
-    pts = piece.find("Points/DataArray")
-    out["points"] = np.asarray(_decode_data_array(pts), np.float32).reshape(-1, 3)
+    def decode(el):
+        return _decode_data_array(el, header_type)
 
-    arrays = {el.get("Name"): _decode_data_array(el)
+    pts = piece.find("Points/DataArray")
+    out["points"] = np.asarray(decode(pts), np.float32).reshape(-1, 3)
+
+    arrays = {el.get("Name"): decode(el)
               for el in piece.findall("Cells/DataArray")}
     conn, offs = arrays["connectivity"].ravel(), arrays["offsets"].ravel()
     out["connectivity"], out["offsets"] = conn, offs
@@ -145,7 +169,7 @@ def read_vtu(path: str) -> dict:
         sec = piece.find(section)
         if sec is not None:
             for el in sec.findall("DataArray"):
-                out[key][el.get("Name")] = _decode_data_array(el)
+                out[key][el.get("Name")] = decode(el)
     return out
 
 
@@ -154,14 +178,7 @@ def write_vtp_polydata(path: str, points: np.ndarray, polys: np.ndarray,
     """Minimal VTP (PolyData) writer for WSS surface output
     (compute_wss.py:113-116 writes .vtp)."""
     points = np.asarray(points, np.float32)
-    if isinstance(polys, np.ndarray) and polys.ndim == 2:
-        connectivity = polys.reshape(-1).astype(np.int32)
-        offsets = (np.arange(1, polys.shape[0] + 1) * polys.shape[1]).astype(np.int32)
-        npolys = polys.shape[0]
-    else:
-        connectivity = np.concatenate([np.asarray(c).ravel() for c in polys]).astype(np.int32)
-        offsets = np.cumsum([len(c) for c in polys]).astype(np.int32)
-        npolys = len(polys)
+    connectivity, offsets, npolys = _flatten_cells(polys)
     parts = [
         '<?xml version="1.0"?>',
         '<VTKFile type="PolyData" version="1.0" byte_order="LittleEndian" header_type="UInt64">',

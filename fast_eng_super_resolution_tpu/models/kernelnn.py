@@ -274,6 +274,18 @@ class KernelNN:
             raise ValueError(
                 f"checkpoint fc1 {sd['fc1.weight'].shape} does not match "
                 f"(width={self.width}, in_width={self.in_width})")
+        # the edge-MLP head width encodes the kernel factorization: full
+        # rank = width*width, rank-r = 2*r*width.  A full-rank reference
+        # checkpoint silently loading into a rank-r config would slice the
+        # flat head with the wrong column meaning and predict garbage.
+        head = sd["conv1.nn.layers.4.weight"].shape[0]
+        want = (self.width * self.width if self.kernel_rank is None
+                else 2 * self.kernel_rank * self.width)
+        if head != want:
+            raise ValueError(
+                f"checkpoint edge-MLP head width {head} does not match "
+                f"kernel_rank={self.kernel_rank} (expected {want}; full-rank "
+                "checkpoints cannot load into low-rank configs or vice versa)")
         return {
             "fc1": from_torch_linear(sd, "fc1"),
             "conv": {

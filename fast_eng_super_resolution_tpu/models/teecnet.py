@@ -76,20 +76,27 @@ class TEECNet:
             # but leaves it disconnected (model.py:402, 427 commented); here
             # it is a first-class alternative.  Nonlinear in its final layer,
             # so the factored/pallas forms don't apply: per-edge matrices.
-            from ..ops.segment import masked_segment_mean
+            from ..ops.segment import masked_segment_mean, segment_degree
             from .powerseries import PowerSeriesKernel
 
             ps = PowerSeriesKernel(self.in_edge, self.width * self.width,
                                    self.ps_layers, self.num_powers)
             w_e = ps.apply(kern["ps"], edge_attr).reshape(
                 -1, self.width, self.width)
+            # degree is loop-invariant: hoist like the dense branch (one
+            # segment_sum instead of one per layer)
+            deg = segment_degree(receivers, x.shape[0], edge_mask)
 
             def body(h, _):
                 xj = linear(kern["linear"], h)[senders]
                 msg = jnp.einsum("ei,eio->eo", xj, w_e)
-                aggr = masked_segment_mean(msg, receivers, h.shape[0], edge_mask)
+                aggr = masked_segment_mean(msg, receivers, h.shape[0],
+                                           edge_mask, count=deg,
+                                           indices_are_sorted=self.edges_sorted)
                 return aggr + h @ kern["root"] + kern["bias"], None
 
+            if self.remat:  # same training-memory behavior as the dense branch
+                body = jax.checkpoint(body)
             h, _ = jax.lax.scan(body, h, None, length=self.num_layers)
             return linear(params["fc_out"], h)
 

@@ -39,23 +39,27 @@ def pad_batch_to_multiple(batch, multiple: int):
 
     Padded graphs reuse graph 0's structure with node/edge masks zeroed, so
     they contribute nothing to losses or reconstructions.
-    """
-    import jax.numpy as jnp
 
+    Runs HOST-SIDE in numpy: eager per-leaf device concatenates cost ~2
+    dispatches each (~0.5 s over the relay tunnel, CLAUDE.md), and this
+    sits on the multi-device train-setup and routed-predict paths.  The
+    single transfer happens downstream at shard_batch/jit entry.
+    """
     b = batch.x.shape[0]
     rem = (-b) % multiple
     if rem == 0:
         return batch, b
 
     def pad_leaf(x):
-        pad_block = jnp.repeat(x[:1], rem, axis=0)
-        return jnp.concatenate([x, pad_block], axis=0)
+        x = np.asarray(x)
+        pad_block = np.repeat(x[:1], rem, axis=0)
+        return np.concatenate([x, pad_block], axis=0)
 
     import dataclasses
 
     padded = jax.tree_util.tree_map(pad_leaf, batch)
     # zero out masks on the padded tail
-    mask_fix = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((rem,), bool)])
+    mask_fix = np.concatenate([np.ones((b,), bool), np.zeros((rem,), bool)])
     padded = dataclasses.replace(
         padded,
         node_mask=padded.node_mask & mask_fix[:, None],
