@@ -66,6 +66,15 @@ def main():
                 edge_attr=g.edge_attr, global_ids=g.global_node_ids) for g in subs]
     t0 = time.perf_counter()
     (_, order, batch), = pad_and_bucket(raw)
+    # chunk prep HOST-SIDE: slicing device-resident leaves would issue ~2
+    # eager tunnel dispatches per chunk per leaf (~0.5 s each, CLAUDE.md);
+    # one device_get + numpy slicing + one stacked upload instead
+    batch = jax.tree_util.tree_map(np.asarray, jax.device_get(batch))
+    from fast_eng_super_resolution_tpu.parallel.mesh import pad_batch_to_multiple
+
+    # mask-zeroed tail padding so the chunk count divides evenly (dropped
+    # empty partitions make len(subs) ragged vs --chunk)
+    batch, _ = pad_batch_to_multiple(batch, args.chunk)
     chunks = []
     for s in range(0, batch.x.shape[0], args.chunk):
         sl = slice(s, s + args.chunk)
@@ -97,12 +106,31 @@ def main():
 
         return jax.lax.map(one, stacked)
 
-    out = run_all(params, stacked)  # warm compile
+    out = run_all(params, stacked)  # warm compile (also feeds reconstruction)
     float(jnp.sum(out))
+
+    # honest timing: chain iterations so no execution is byte-identical —
+    # the axon relay serves repeated identical executions from cache
+    # (CLAUDE.md; same pattern as bench.py)
+    import dataclasses as _dc
+
+    ITERS = 3
+
+    @jax.jit
+    def chained(params, stacked):
+        x0 = stacked.x
+
+        def body(x, _):
+            o = run_all(params, _dc.replace(stacked, x=x))  # jit inlines
+            return o * 1e-3 + x0, None
+
+        x, _ = jax.lax.scan(body, x0, None, length=ITERS)
+        return x
+
+    chained(params, stacked).block_until_ready()  # warm
     t0 = time.perf_counter()
-    out = run_all(params, stacked)
-    checksum = float(jnp.sum(out))  # forces execution through the relay
-    t_infer = time.perf_counter() - t0
+    checksum = float(jnp.sum(chained(params, stacked)))  # host sync
+    t_infer = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(checksum)
 
     # device-side overlap averaging: one segment-sum over all padded nodes,

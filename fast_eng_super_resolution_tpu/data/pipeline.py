@@ -26,6 +26,7 @@ def prefetch_to_device(batch_iter: Iterable, size: int = 2,
 
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def producer():
         try:
@@ -35,20 +36,41 @@ def prefetch_to_device(batch_iter: Iterable, size: int = 2,
                         lambda x: jax.device_put(x, sharding), batch)
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
-                q.put(batch)
+                # timed put + stop flag: if the consumer abandons the
+                # generator, the thread must exit instead of blocking
+                # forever on a full queue with device batches pinned
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass  # consumer gone; stop flag drains the thread
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # release pinned device batches
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
     if err:
         raise err[0]
 
@@ -65,20 +87,23 @@ class ThreadedLoader:
         self.ahead = ahead
 
     def __iter__(self):
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.num_workers) as pool:
-            futures = []
+            # deque + popleft: consumed futures (and their loaded results)
+            # are dropped, so memory stays bounded by ``ahead`` instead of
+            # growing with the dataset
+            futures: deque = deque()
             it = iter(self.keys)
             for _ in range(self.ahead):
                 k = next(it, _SENTINEL)
                 if k is _SENTINEL:
                     break
                 futures.append(pool.submit(self.load_fn, k))
-            i = 0
-            while i < len(futures):
-                yield futures[i].result()
+            while futures:
+                result = futures.popleft().result()
                 k = next(it, _SENTINEL)
                 if k is not _SENTINEL:
                     futures.append(pool.submit(self.load_fn, k))
-                i += 1
+                yield result

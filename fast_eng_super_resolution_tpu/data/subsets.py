@@ -39,15 +39,28 @@ class SubGraphDataset(Subset):
 class SubJHTDB:
     """Sub_JHTDB equivalent (MatDataset.py:21-39): subset of a processed
     array-record file.  Verifies the processed file exists, like the
-    reference's 'JHTDB data is not processed yet' guard (:28-29)."""
+    reference's 'JHTDB data is not processed yet' guard (:28-29).
+
+    The record file is ``processed/jhtdb_data.npz`` (NOT ``data.npz``, which
+    is this package's processed-marker metadata file — reading that would
+    silently serve metadata as samples).  Keys are sorted NUMERICALLY when
+    they follow np.savez's ``arr_<i>`` convention: a lexicographic sort maps
+    index 2 to sample 10 once there are 11+ entries."""
+
+    _FILENAME = "jhtdb_data.npz"
 
     def __init__(self, root: str, indices):
         self.root = root
-        path = os.path.join(root, "processed", "data.npz")
+        path = os.path.join(root, "processed", self._FILENAME)
         if not os.path.exists(path):
             raise ValueError("JHTDB data is not processed yet")
+
+        def key(k: str):
+            tail = k.rsplit("_", 1)[-1]
+            return (0, int(tail)) if tail.isdigit() else (1, k)
+
         with np.load(path, allow_pickle=True) as z:
-            data = [z[k] for k in sorted(z.files)]
+            data = [z[k] for k in sorted(z.files, key=key)]
         self.data = [data[i] for i in indices]
 
     def __len__(self):

@@ -44,7 +44,9 @@ class MetricLogger:
         self._f.flush()
         self.step = rec["step"] + 1
         if self._wandb is not None:
-            self._wandb.log(metrics)
+            # explicit step: wandb's auto-increment counts CALLS, which
+            # diverges from the epoch whenever val logs less often than train
+            self._wandb.log(metrics, step=int(rec["step"]))
 
     def finish(self):
         self._f.close()

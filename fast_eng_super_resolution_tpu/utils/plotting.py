@@ -16,7 +16,11 @@ def plot_3d_prediction(pos: np.ndarray, x: np.ndarray, y: np.ndarray,
                        pred: np.ndarray, save_mode: str = "save_png", **kwargs):
     import matplotlib
 
-    matplotlib.use("Agg")
+    if save_mode != "plt":
+        # headless backend for the save/wandb modes only: forcing Agg
+        # unconditionally would make save_mode='plt' (reference
+        # utils.py:158-159 shows the figure) a silent no-op
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig = plt.figure(figsize=(20, 5))
