@@ -103,12 +103,12 @@ class FluentMesh:
         return faces
 
 
-def mesh_from_cells(points: np.ndarray, cells: np.ndarray,
-                    wall_mask: np.ndarray | None = None) -> FluentMesh:
+def mesh_from_cells(points: np.ndarray, cells: np.ndarray) -> FluentMesh:
     """Builds a face-based FluentMesh from tet cells (test/synthetic helper).
 
-    Interior faces get real c0/c1 adjacency; boundary faces are grouped into a
-    'walls' zone (or by wall_mask if given).
+    Interior faces get real c0/c1 adjacency; boundary faces are grouped into
+    a single 'walls' zone (wall-node identification downstream goes by zone
+    name/bc type, FluentMesh.wall_node_indices).
     """
     tet_faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
     f = cells[:, tet_faces]                      # [C, 4, 3]
@@ -133,11 +133,18 @@ def mesh_from_cells(points: np.ndarray, cells: np.ndarray,
             bc0.append(owner_s[i])
             i += 1
 
+    def _faces_arr(faces):
+        # empty face sets must stay int-typed: np.asarray([]) is float64 and
+        # cell_point_sets/edges would die casting it (single-tet meshes)
+        return (np.asarray(faces, np.int64) if faces
+                else np.zeros((0, 3), np.int64))
+
     zones = [
         FaceZone(2, BC_INTERIOR, "interior:interior-fluid",
-                 np.asarray(interior_faces), np.asarray(ic0), np.asarray(ic1)),
+                 _faces_arr(interior_faces), np.asarray(ic0, np.int64),
+                 np.asarray(ic1, np.int64)),
         FaceZone(3, BC_WALL, "wall:walls",
-                 np.asarray(boundary_faces), np.asarray(bc0),
+                 _faces_arr(boundary_faces), np.asarray(bc0, np.int64),
                  np.full(len(boundary_faces), -1)),
     ]
     return FluentMesh(points=np.asarray(points, np.float32), face_zones=zones,

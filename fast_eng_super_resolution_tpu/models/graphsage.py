@@ -30,9 +30,14 @@ class GraphSAGE:
         c = self.in_channels
         for i in range(self.num_layers):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            # PyG SAGEConv: only lin_l carries a bias (lin_r is
+            # Linear(..., bias=False)) — two biases per layer would be
+            # redundant params and mismatch the torch state-dict layout
+            lin_r = linear_init(k2, c, self.out_channels)
+            lin_r = {"w": lin_r["w"]}
             layers.append({
                 "lin_l": linear_init(k1, c, self.out_channels),
-                "lin_r": linear_init(k2, c, self.out_channels),
+                "lin_r": lin_r,
             })
             c = self.out_channels
         return {"layers": layers}
@@ -42,9 +47,14 @@ class GraphSAGE:
               edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         n = x.shape[0]
         h = x
+        # degree is loop-invariant — one segment_sum instead of one per layer
+        from ..ops.segment import segment_degree
+
+        deg = segment_degree(receivers, n, edge_mask)
         for i, layer in enumerate(params["layers"]):
-            neigh = masked_segment_mean(h[senders], receivers, n, edge_mask)
-            h = linear(layer["lin_l"], neigh) + linear(layer["lin_r"], h)
+            neigh = masked_segment_mean(h[senders], receivers, n, edge_mask,
+                                        count=deg)
+            h = linear(layer["lin_l"], neigh) + h @ layer["lin_r"]["w"]
             if i < self.num_layers - 1:
                 h = jax.nn.relu(h)
         return h

@@ -19,12 +19,15 @@ import jax.numpy as jnp
 
 
 def _ps_conv_init(key, c_in: int, c_out: int, num_powers: int) -> dict:
-    k1, k2 = jax.random.split(key)
-    # xavier_uniform on conv weight, U(-1,1) on root_param (model.py:327-331)
+    k1, k2, k3 = jax.random.split(key, 3)
+    # xavier_uniform on conv weight, U(-1,1) on root_param (model.py:327-331);
+    # the bias keeps torch Linear's default U(-1/sqrt(fan_in)) — the
+    # reference's reset_parameters re-inits only the weight
     bound = (6.0 / (c_in + c_out)) ** 0.5
+    b_bound = 1.0 / (c_in ** 0.5)
     return {
         "w": jax.random.uniform(k1, (c_in, c_out), jnp.float32, -bound, bound),
-        "b": jnp.zeros((c_out,), jnp.float32),
+        "b": jax.random.uniform(k3, (c_out,), jnp.float32, -b_bound, b_bound),
         "root_param": jax.random.uniform(k2, (num_powers,), jnp.float32, -1.0, 1.0),
     }
 

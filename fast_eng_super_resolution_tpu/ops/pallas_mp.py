@@ -116,8 +116,9 @@ def fused_edge_messages(h: jnp.ndarray, x_src: jnp.ndarray, w3: jnp.ndarray,
 
 
 def pallas_available() -> bool:
-    """True when the default backend can run Mosaic TPU kernels."""
+    """True when the default backend can run Mosaic TPU kernels ('axon' is
+    the relay TPU backend — same chip, same Mosaic support)."""
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
