@@ -50,10 +50,15 @@ def prefetch_to_device(batch_iter: Iterable, size: int = 2,
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass  # consumer gone; stop flag drains the thread
+            # the sentinel MUST reach the consumer (a dropped sentinel
+            # deadlocks q.get()); timed puts honor the stop flag when the
+            # consumer is gone instead
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
