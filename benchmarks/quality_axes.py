@@ -56,6 +56,9 @@ def main():
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
     from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
 
+    if args.held_out < 1:
+        parser.error("--held-out must be >= 1 (the headline metric is the "
+                     "held-out mean)")
     n_cases = args.train_cases + args.held_out
     root = args.root or f"/tmp/fesr_quality_{args.axis}_{n_cases}"
     # the synthetic_full recipe (BASELINE.md quality rows)
@@ -86,7 +89,8 @@ def main():
         n = len(full["points"])
         p = overlap_average([np.asarray(v) for v in pred], gids, n)
         r = overlap_average([np.asarray(v) for v in ref], gids, n)
-        imp = float(((full["x"] - r) ** 2).mean()) / float(((p - r) ** 2).mean())
+        imp = (float(((full["x"] - r) ** 2).mean())
+               / max(float(((p - r) ** 2).mean()), 1e-30))
         imps.append(imp)
         print(f"mesh {m} (held out): improvement {imp:.2f}x", flush=True)
     print(f"MEAN improvement over {len(imps)} held-out: {np.mean(imps):.2f}x",

@@ -125,9 +125,12 @@ def train_grid(exp_name: str, model, dataset, train_config: dict,
         else:
             params, opt_state, losses = trainer.epoch(
                 params, opt_state, x_tr, y_tr, order)
-        train_loss = float(np.mean(np.asarray(losses)))
         opt_state = trainer.set_lr(opt_state, sched(epoch + 1))
         if epoch % val_interval == 0 or epoch == epochs - 1:
+            # the train-loss host fetch lives INSIDE the val branch: a
+            # per-epoch float() would serialize the async epoch pipeline
+            # and pay one tunnel fetch per epoch on relay backends
+            train_loss = float(np.mean(np.asarray(losses)))
             val_loss = trainer.evaluate(params, x_va, y_va)
             # log the LR this epoch actually trained under, not the one just
             # scheduled for the next (the graph path does the same)
@@ -137,6 +140,11 @@ def train_grid(exp_name: str, model, dataset, train_config: dict,
                 best_val = val_loss
                 ckpt.save_params(path, params)
             print(f"Epoch {epoch}: train {train_loss:.6f} val {val_loss:.6f}")
+    if not np.isfinite(best_val):
+        # diverged run (every val loss NaN/inf): persist last-epoch params
+        # like the graph scheduler does, so pred_grid finds a checkpoint
+        # instead of FileNotFoundError
+        ckpt.save_params(path, params)
     logger.finish()
     print(f"Best val loss {best_val:.6f} -> {path}")
     return {"best_val": best_val, "ckpt": path}
