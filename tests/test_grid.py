@@ -316,3 +316,22 @@ def test_grid_cache_param_keying(tmp_path):
     ds3 = DarcyFlowDataset(str(tmp_path), num_samples=2, resolution=16,
                            downsample=2)
     assert np.array_equal(ds2.x, ds3.x)  # identical params -> cache hit
+
+
+def test_train_grid_diverged_run_still_checkpoints(tmp_path):
+    """A run whose val loss is never finite must still persist params
+    (last-epoch) so pred_grid finds a checkpoint — like the graph
+    scheduler's guard (review finding: FileNotFoundError at predict)."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import AdvectedScalarDataset
+    from fast_eng_super_resolution_tpu.grid_runner import train_grid
+    from fast_eng_super_resolution_tpu.models.registry import init_model
+
+    ds = AdvectedScalarDataset(str(tmp_path), num_samples=8, resolution=16,
+                               downsample=2, steps=4)
+    model = init_model("fno", 4, 4, width=8, in_feats=1)
+    cfg = dict(epochs=3, batch_size=4, lr=1e12,  # diverges immediately
+               step_size=30, gamma=0.1, log_interval=5, val_interval=1)
+    out = train_grid("diverge_t", model, ds,
+                     cfg, {"train_samples": 6, "idxs": [6, 7]},
+                     log_dir=str(tmp_path / "logs"))
+    assert os.path.exists(out["ckpt"])
