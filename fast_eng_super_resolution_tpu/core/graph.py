@@ -214,6 +214,7 @@ def pad_and_bucket(
     raw_graphs: Sequence[dict],
     spec: BucketSpec = BucketSpec(),
     uniform: bool = True,
+    to_device: bool = True,
 ) -> list[tuple[tuple[int, int], list[int], GraphBatch]]:
     """Pads a list of raw graphs (dicts of numpy arrays) into batched buckets.
 
@@ -254,5 +255,5 @@ def pad_and_bucket(
             )
             for i in idxs
         ]
-        out.append((key, idxs, stack_graphs(gs)))
+        out.append((key, idxs, stack_graphs(gs, to_device=to_device)))
     return out

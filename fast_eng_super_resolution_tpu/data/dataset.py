@@ -69,29 +69,20 @@ def write_physics_csv(path: str, points: np.ndarray, velocity: np.ndarray,
 
 def _renormalize_interp(interp: np.ndarray, context: str,
                         pressure_shift: bool) -> tuple[np.ndarray, np.ndarray]:
-    """Renormalize interpolated input fields (GraphDataset.py:1008-1011)
-    with degenerate-value guards: an all-zero or constant interpolated field
-    (e.g. gauss_radius too small for the mesh spacing) would divide 0/0 and
-    write NaN into the processed cache.  The reference warns on NaN after
-    the fact (GraphDataset.py:401-403, 1012-1014); we guard before the
-    divide AND warn, so caches stay finite."""
-    v = interp[:, :3]
-    vmax = float(np.max(np.abs(v))) if v.size else 0.0
-    if not np.isfinite(vmax) or vmax <= 0:
-        print(f"Warning: degenerate interpolated velocity in {context} "
-              f"(max |v| = {vmax}); skipping velocity normalization")
-    else:
-        v = v / vmax
-    p = interp[:, 3:4]
-    if pressure_shift:
-        p = p - np.min(p)
-    pmax = float(np.max(p)) if p.size else 0.0
-    if not np.isfinite(pmax) or pmax <= 0:
-        print(f"Warning: degenerate interpolated pressure in {context} "
-              f"(max = {pmax}); skipping pressure normalization")
-    else:
-        p = p / pmax
-    return v.astype(np.float32), p.astype(np.float32)
+    """Renormalize interpolated input fields (GraphDataset.py:1008-1011).
+
+    Delegates to tensorize.normalize_fields — ONE copy of the
+    degenerate-field guards (0/0 NaN prevention + warning; the reference
+    only warns after the NaN, GraphDataset.py:401-403/1012-1014) — with
+    the style mapping pressure_shift=True == 'ansys' ((p-min)/max), False
+    == 'duct' (p/max).  ``context`` names the mesh in failure prints."""
+    from .tensorize import normalize_fields
+
+    v, p = normalize_fields(interp[:, :3], interp[:, 3:4],
+                            style="ansys" if pressure_shift else "duct")
+    if not (np.isfinite(v).all() and np.isfinite(p).all()):
+        print(f"Warning: non-finite interpolated fields in {context}")
+    return v, p
 
 
 def _stack_cells(cell_sets) -> tuple[np.ndarray, bool]:

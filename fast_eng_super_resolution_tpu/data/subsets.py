@@ -53,7 +53,19 @@ class SubJHTDB:
         self.root = root
         path = os.path.join(root, "processed", self._FILENAME)
         if not os.path.exists(path):
-            raise ValueError("JHTDB data is not processed yet")
+            # legacy record name (pre-rename): accept with a warning so
+            # out-of-repo-processed caches aren't stranded
+            legacy = os.path.join(root, "processed", "data.npz")
+            if os.path.exists(legacy):
+                import warnings
+
+                warnings.warn(
+                    f"{legacy}: legacy JHTDB record name — rename to "
+                    f"{self._FILENAME} (data.npz is also this package's "
+                    "processed-marker filename)")
+                path = legacy
+            else:
+                raise ValueError("JHTDB data is not processed yet")
 
         def key(k: str):
             tail = k.rsplit("_", 1)[-1]

@@ -54,7 +54,12 @@ class GraphSAGE:
         for i, layer in enumerate(params["layers"]):
             neigh = masked_segment_mean(h[senders], receivers, n, edge_mask,
                                         count=deg)
-            h = linear(layer["lin_l"], neigh) + h @ layer["lin_r"]["w"]
+            # new checkpoints have no lin_r bias (PyG parity); checkpoints
+            # saved before that change carry one — honor it so old trained
+            # params keep predicting exactly what they validated as
+            root = (linear(layer["lin_r"], h) if "b" in layer["lin_r"]
+                    else h @ layer["lin_r"]["w"])
+            h = linear(layer["lin_l"], neigh) + root
             if i < self.num_layers - 1:
                 h = jax.nn.relu(h)
         return h

@@ -112,6 +112,13 @@ def precompute_edge_kernel(
             # collapse its resolution
             lo = jnp.min(jnp.where(edge_mask, e_scalar, jnp.inf))
             hi = jnp.max(jnp.where(edge_mask, e_scalar, -jnp.inf))
+            # fully-masked graphs (padded batch tails under vmap) must keep
+            # FINITE knots: inf knot_attr would make the edge-MLP hidden
+            # inf and the backward NaN (inf * zero-cotangent) even though
+            # the forward's masked scatter stays finite
+            ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+            lo = jnp.where(ok, lo, 0.0)
+            hi = jnp.where(ok, hi, 1.0)
         else:
             lo = jnp.min(e_scalar)
             hi = jnp.max(e_scalar)

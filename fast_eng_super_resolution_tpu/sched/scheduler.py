@@ -979,7 +979,11 @@ class PartitionScheduler:
                 return fused_jit(params, xm, ea_b_j, sp_j, sm_j,
                                  rows_blk, blk, (b, n, -1))
 
-        buckets = pad_and_bucket(raw, uniform=True)
+        # multi-device requests keep the batch HOST-side until shard_batch
+        # uploads it: padding the batch axis after an upload would fetch
+        # every leaf back (~35 ms each over the relay) and re-upload
+        multi = self.mesh is not None and self.mesh.devices.size > 1
+        buckets = pad_and_bucket(raw, uniform=True, to_device=not multi)
         (_, idxs, batch) = buckets[0]
         if self.mesh is not None and self.mesh.devices.size > 1:
             batch, real_b = pad_batch_to_multiple(batch,
