@@ -270,3 +270,64 @@ def test_gradient_weight_custom_vjp_parity(rng):
         for ta, tb in zip(ga, gb):
             denom = max(float(jnp.linalg.norm(ta)), 1e-12)
             assert float(jnp.linalg.norm(ta - tb)) / denom < 1e-5
+
+
+def test_lut_knot_range_ignores_padding(rng):
+    """LUT knots span the REAL edge range: padding slots carry
+    edge_attr=1.0, which on fine meshes (lengths ~1e-3) stretched the
+    table ~100x past the real range and collapsed its resolution (review
+    finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    n, e_real, e_pad = 32, 200, 256
+    model = KernelNN(width=12, ker_width=8, depth=2, in_width=4, out_width=4,
+                     mode="lut", lut_knots=256)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    senders = jnp.asarray(rng.integers(0, n, e_pad), jnp.int32)
+    receivers = jnp.asarray(np.sort(rng.integers(0, n, e_pad)), jnp.int32)
+    # real edge lengths ~1e-3; padded slots carry the pad_graph 1.0
+    ea = np.full((e_pad, 1), 1.0, np.float32)
+    ea[:e_real] = rng.uniform(1e-3, 2e-3, (e_real, 1))
+    mask = np.zeros(e_pad, bool)
+    mask[:e_real] = True
+    got = model.apply(params, x, senders, receivers, jnp.asarray(ea),
+                      edge_mask=jnp.asarray(mask))
+    exact = KernelNN(width=12, ker_width=8, depth=2, in_width=4, out_width=4,
+                     mode="edge3d")
+    ref = exact.apply(params, x, senders, receivers, jnp.asarray(ea),
+                      edge_mask=jnp.asarray(mask))
+    rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert rel < 5e-3, rel  # old global range gave ~knots/500 effective res
+
+
+def test_lut_fully_masked_graph_finite_grads(rng):
+    """A fully-masked graph (padded batch tail under vmap) must produce
+    FINITE gradients through the LUT path: inf knot positions NaN'd the
+    backward even though the forward was masked to zero (review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+
+    n, e = 16, 64
+    model = KernelNN(width=8, ker_width=8, depth=2, in_width=4, out_width=4,
+                     mode="lut", lut_knots=64)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    senders = jnp.zeros(e, jnp.int32)
+    receivers = jnp.zeros(e, jnp.int32)
+    ea = jnp.ones((e, 1), jnp.float32)
+    mask = jnp.zeros(e, bool)  # everything padded
+
+    def loss(p):
+        out = model.apply(p, x, senders, receivers, ea, edge_mask=mask)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
