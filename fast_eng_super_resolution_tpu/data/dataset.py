@@ -590,6 +590,9 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "advected_grid":
         from .grid_dataset import AdvectedScalarDataset
         return AdvectedScalarDataset(root=root, **kwargs)
+    elif name == "advected3d_grid":
+        from .grid_dataset import AdvectedScalar3DDataset
+        return AdvectedScalar3DDataset(root=root, **kwargs)
     elif name == "darcy_grid":
         from .grid_dataset import DarcyFlowDataset
         return DarcyFlowDataset(root=root, **kwargs)

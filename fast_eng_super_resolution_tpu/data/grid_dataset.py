@@ -231,6 +231,130 @@ class AdvectedScalarDataset(_CachedGridDataset):
             resolution, rng, factor=downsample, steps=steps))
 
 
+def _trilinear_sample(field: np.ndarray, xq: np.ndarray, yq: np.ndarray,
+                      zq: np.ndarray) -> np.ndarray:
+    """Periodic trilinear interpolation of ``field`` [n, n, n] at fractional
+    grid coordinates — the 3D semi-Lagrangian back-trace lookup."""
+    n = field.shape[0]
+    x0 = np.floor(xq).astype(np.int64)
+    y0 = np.floor(yq).astype(np.int64)
+    z0 = np.floor(zq).astype(np.int64)
+    fx = xq - x0
+    fy = yq - y0
+    fz = zq - z0
+    x0 %= n
+    y0 %= n
+    z0 %= n
+    x1 = (x0 + 1) % n
+    y1 = (y0 + 1) % n
+    z1 = (z0 + 1) % n
+    c00 = field[x0, y0, z0] * (1 - fx) + field[x1, y0, z0] * fx
+    c10 = field[x0, y1, z0] * (1 - fx) + field[x1, y1, z0] * fx
+    c01 = field[x0, y0, z1] * (1 - fx) + field[x1, y0, z1] * fx
+    c11 = field[x0, y1, z1] * (1 - fx) + field[x1, y1, z1] * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _solenoidal_low_mode_velocity_3d(n: int, rng: np.random.Generator,
+                                     max_mode: int = 2) -> np.ndarray:
+    """Steady incompressible 3D velocity u = curl(A) from a random low-mode
+    vector potential A — divergence-free by construction, and exciting only
+    modes |k| <= max_mode per axis so the SAME flow is exactly representable
+    on the coarse grid (the learnability precondition, see the 2D analog)."""
+    a_hat = np.zeros((3, n, n, n), np.complex128)
+    for kx in range(-max_mode, max_mode + 1):
+        for ky in range(-max_mode, max_mode + 1):
+            for kz in range(-max_mode, max_mode + 1):
+                if kx == ky == kz == 0:
+                    continue
+                k2 = kx * kx + ky * ky + kz * kz
+                for c in range(3):
+                    a_hat[c, kx % n, ky % n, kz % n] = (
+                        rng.normal() + 1j * rng.normal()) / k2
+    # u_hat = i k x A_hat (curl in Fourier space); k in index units
+    k = np.fft.fftfreq(n, 1.0 / n)
+    kx = k[:, None, None]
+    ky = k[None, :, None]
+    kz = k[None, None, :]
+    u_hat = np.stack([
+        1j * (ky * a_hat[2] - kz * a_hat[1]),
+        1j * (kz * a_hat[0] - kx * a_hat[2]),
+        1j * (kx * a_hat[1] - ky * a_hat[0]),
+    ])
+    u = np.fft.ifftn(u_hat, axes=(1, 2, 3)).real
+    u = np.moveaxis(u, 0, -1)  # [n, n, n, 3]
+    # max-|u| of 0.3 n grid units/time: a few-cell displacement per dt=0.02
+    # step, same regime as the 2D task
+    return u * (0.3 * n / (np.abs(u).max() + 1e-12))
+
+
+def advected_scalar3d_pair(n: int, rng: np.random.Generator, factor: int = 2,
+                           steps: int = 30, dt: float = 0.02,
+                           max_mode: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """One 3D (coarse-run upsampled, fine-run) advected-scalar pair.
+
+    The volumetric extension of ``advected_scalar_pair``: Gaussian-blob
+    scalar advected by a steady low-mode solenoidal flow with 3D
+    semi-Lagrangian stepping at two resolutions sharing the same IC and the
+    same coarse-resolvable velocity.  Returns (x, y), each [n, n, n, 1].
+    """
+    _check_coarse_nyquist(n, factor, max_mode)
+    grid = np.arange(n)
+    gx, gy, gz = np.meshgrid(grid, grid, grid, indexing="ij")
+    theta0 = np.zeros((n, n, n))
+    for _ in range(4):
+        cx, cy, cz = rng.random(3) * n
+        s = (0.06 + 0.06 * rng.random()) * n
+        dx = np.minimum(np.abs(gx - cx), n - np.abs(gx - cx))
+        dy = np.minimum(np.abs(gy - cy), n - np.abs(gy - cy))
+        dz = np.minimum(np.abs(gz - cz), n - np.abs(gz - cz))
+        theta0 += rng.random() * np.exp(
+            -(dx ** 2 + dy ** 2 + dz ** 2) / (2 * s * s))
+    vel = _solenoidal_low_mode_velocity_3d(n, rng, max_mode=max_mode)
+
+    def run(field, velocity, m, nsteps):
+        q0 = np.meshgrid(np.arange(m), np.arange(m), np.arange(m),
+                         indexing="ij")
+        f = field.copy()
+        for _ in range(nsteps):
+            f = _trilinear_sample(f,
+                                  q0[0] - velocity[..., 0] * dt,
+                                  q0[1] - velocity[..., 1] * dt,
+                                  q0[2] - velocity[..., 2] * dt)
+        return f
+
+    fine = run(theta0, vel, n, steps)
+    theta0_c = theta0[::factor, ::factor, ::factor]
+    vel_c = vel[::factor, ::factor, ::factor] / factor
+    coarse = run(theta0_c, vel_c, n // factor, steps)
+    xq = np.arange(n) / factor
+    gxq, gyq, gzq = np.meshgrid(xq, xq, xq, indexing="ij")
+    up = _trilinear_sample(coarse, gxq, gyq, gzq)
+    scale = np.abs(fine).max() + 1e-12
+    return (up[..., None] / scale).astype(np.float32), \
+           (fine[..., None] / scale).astype(np.float32)
+
+
+class AdvectedScalar3DDataset(_CachedGridDataset):
+    """Volumetric advected-scalar super-resolution workload for FNO3d (see
+    advected_scalar3d_pair).  Same access API as the 2D grid datasets;
+    samples are {'x': [n, n, n, 1], 'y': [n, n, n, 1]}."""
+
+    _filename = "advected3d_data.npz"
+
+    def __init__(self, root: str, num_samples: int = 32, resolution: int = 32,
+                 downsample: int = 2, steps: int = 30, max_mode: int = 2,
+                 seed: int = 0, **kwargs):
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, steps=steps, max_mode=max_mode,
+                      seed=seed)
+        super().__init__(root, params, lambda rng: advected_scalar3d_pair(
+            resolution, rng, factor=downsample, steps=steps,
+            max_mode=max_mode))
+
+
 def _grf_threshold_coeff(n: int, rng: np.random.Generator,
                          tau: float = 3.0, alpha: float = 2.0,
                          hi: float = 12.0, lo: float = 3.0) -> np.ndarray:

@@ -126,6 +126,117 @@ def _spectral_conv_matmul(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndar
         "bohk,kw->bohw", z_im, gw_im)
 
 
+def _spectral_init_3d(key, c_in: int, c_out: int,
+                      m1: int, m2: int, m3: int) -> dict:
+    """3D spectral weights, one stacked block over the concatenated kept
+    rows (d-rows ``[0:m1]+[D-m1:D]`` -> axis of size 2*m1, h-rows likewise)
+    — the single-tensor equivalent of the canonical four corner blocks."""
+    scale = 1.0 / (c_in * c_out)
+    ks = jax.random.split(key, 2)
+    shape = (c_in, c_out, 2 * m1, 2 * m2, m3)
+    return {"w_re": scale * jax.random.uniform(ks[0], shape),
+            "w_im": scale * jax.random.uniform(ks[1], shape)}
+
+
+def _spectral_conv_3d(p: dict, x: jnp.ndarray,
+                      m1: int, m2: int, m3: int) -> jnp.ndarray:
+    """FFT-path 3D spectral conv (CPU parity oracle). x: [B, C, D, H, W].
+
+    Same structure as ``_spectral_conv`` one axis up: rFFT over the last
+    axis, full DFT over D and H with modes kept from both spectrum ends.
+    """
+    d, h, w = x.shape[-3], x.shape[-2], x.shape[-1]
+    x_ft = jnp.fft.rfftn(x, axes=(-3, -2, -1))  # [B, C, D, H, W//2+1]
+    xd = jnp.concatenate([x_ft[:, :, :m1], x_ft[:, :, d - m1:]], axis=2)
+    sel = jnp.concatenate([xd[:, :, :, :m2], xd[:, :, :, h - m2:]], axis=3)
+    sel = sel[..., :m3]
+    wgt = p["w_re"] + 1j * p["w_im"]
+    out = jnp.einsum("birsk,iorsk->borsk", sel, wgt)
+    c_out = wgt.shape[1]
+    out_ft = jnp.zeros((x.shape[0], c_out, d, h, w // 2 + 1), jnp.complex64)
+    out_ft = out_ft.at[:, :, :m1, :m2, :m3].set(out[:, :, :m1, :m2])
+    out_ft = out_ft.at[:, :, :m1, h - m2:, :m3].set(out[:, :, :m1, m2:])
+    out_ft = out_ft.at[:, :, d - m1:, :m2, :m3].set(out[:, :, m1:, :m2])
+    out_ft = out_ft.at[:, :, d - m1:, h - m2:, :m3].set(out[:, :, m1:, m2:])
+    return jnp.fft.irfftn(out_ft, s=(d, h, w), axes=(-3, -2, -1))
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_mats_3d(d: int, h: int, w: int, m1: int, m2: int, m3: int):
+    """Per-axis truncated-DFT matrices for the 3D matmul spectral conv.
+
+    ``fd``/``fh`` are full forward DFTs restricted to the kept rows
+    (both spectrum ends), ``fw`` the forward rDFT columns; ``gd``/``gh``
+    the matching inverses, ``gw`` the real-output inverse rDFT with the
+    Hermitian-mirror doubling (DC / even-W Nyquist columns not doubled) —
+    identical math to the 2D ``_dft_mats``, one axis more.
+    """
+    if d < 2 * m1 or h < 2 * m2 or m3 > w // 2 + 1:
+        raise ValueError(
+            f"grid {d}x{h}x{w} too small for matmul-DFT modes "
+            f"({m1},{m2},{m3}); pad the domain or reduce modes")
+
+    def full_axis(n, m):
+        rows = np.concatenate([np.arange(m), np.arange(n - m, n)])
+        ar = np.arange(n)
+        f = np.exp(-2j * np.pi * ar[:, None] * rows[None, :] / n)   # [n, 2m]
+        g = np.exp(2j * np.pi * rows[:, None] * ar[None, :] / n) / n  # [2m, n]
+        return f, g
+
+    fd, gd = full_axis(d, m1)
+    fh, gh = full_axis(h, m2)
+    kw = np.arange(m3)
+    ar = np.arange(w)
+    fw = np.exp(-2j * np.pi * ar[:, None] * kw[None, :] / w)        # [W, m3]
+    c = np.full(m3, 2.0)
+    c[0] = 1.0
+    if w % 2 == 0 and m3 - 1 == w // 2:
+        c[-1] = 1.0  # Nyquist column is not mirrored
+    gw = (c[:, None] / w) * np.exp(2j * np.pi * kw[:, None] * ar[None, :] / w)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    return {k: (f32(v.real), f32(v.imag))
+            for k, v in {"fd": fd, "fh": fh, "fw": fw,
+                         "gd": gd, "gh": gh, "gw": gw}.items()}
+
+
+def _spectral_conv3d_matmul(p: dict, x: jnp.ndarray,
+                            m1: int, m2: int, m3: int) -> jnp.ndarray:
+    """FFT-free 3D spectral conv: six truncated-DFT matmuls + mode mix.
+
+    Pure MXU work — the TPU production path (parity vs ``_spectral_conv_3d``
+    tested to f32 tolerance).  Complex arithmetic expanded over separate
+    re/im operands, as in the 2D version.
+    """
+    mats = _dft_mats_3d(x.shape[-3], x.shape[-2], x.shape[-1], m1, m2, m3)
+    fd_re, fd_im = map(jnp.asarray, mats["fd"])
+    fh_re, fh_im = map(jnp.asarray, mats["fh"])
+    fw_re, fw_im = map(jnp.asarray, mats["fw"])
+    gd_re, gd_im = map(jnp.asarray, mats["gd"])
+    gh_re, gh_im = map(jnp.asarray, mats["gh"])
+    gw_re, gw_im = map(jnp.asarray, mats["gw"])
+
+    def cmul(a_re, a_im, b_re, b_im, eq):
+        re = jnp.einsum(eq, a_re, b_re) - jnp.einsum(eq, a_im, b_im)
+        im = jnp.einsum(eq, a_re, b_im) + jnp.einsum(eq, a_im, b_re)
+        return re, im
+
+    # forward: x real -> rDFT over W, then truncated full DFTs over H, D
+    t_re = jnp.einsum("bcdhw,wk->bcdhk", x, fw_re)
+    t_im = jnp.einsum("bcdhw,wk->bcdhk", x, fw_im)
+    u_re, u_im = cmul(t_re, t_im, fh_re, fh_im, "bcdhk,hs->bcdsk")
+    v_re, v_im = cmul(u_re, u_im, fd_re, fd_im, "bcdsk,dr->bcrsk")
+
+    # mode mixing against the stacked [Ci, Co, 2m1, 2m2, m3] weights
+    y_re, y_im = cmul(v_re, v_im, p["w_re"], p["w_im"], "birsk,iorsk->borsk")
+
+    # inverse: D, H (complex), then real-output rDFT inverse over W — the
+    # final Re() reproduces irfftn's ignored DC/Nyquist imaginary parts
+    z_re, z_im = cmul(y_re, y_im, gd_re, gd_im, "borsk,rd->bodsk")
+    a_re, a_im = cmul(z_re, z_im, gh_re, gh_im, "bodsk,sh->bodhk")
+    return jnp.einsum("bodhk,kw->bodhw", a_re, gw_re) - jnp.einsum(
+        "bodhk,kw->bodhw", a_im, gw_im)
+
+
 def _conv1x1_init(key, c_in: int, c_out: int) -> dict:
     # torch Conv2d(k=1) default init == Linear over the channel dim
     return linear_init(key, c_in, c_out)
@@ -242,3 +353,126 @@ class FNO2d:
             x = x[..., :-pad, :-pad]
         x = _mlp_block(params["q"], x)
         return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _conv1x1_3d(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1x1 conv on [B, C, D, H, W] == channel matmul."""
+    return (jnp.einsum("bcdhw,ce->bedhw", x, p["w"])
+            + p["b"][None, :, None, None, None])
+
+
+def _mlp_block_3d(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return _conv1x1_3d(p["mlp2"],
+                       jax.nn.gelu(_conv1x1_3d(p["mlp1"], x), approximate=False))
+
+
+@dataclasses.dataclass(frozen=True)
+class FNO3d:
+    """3D Fourier Neural Operator — the volumetric extension of FNO2d.
+
+    Beyond-parity: the reference ships only the 2D operator
+    (/root/reference/models/model.py:13-141) although its CFD setting is
+    3D; this class applies the same four-block architecture (spectral conv
+    + per-block MLP + 1x1 skip, GELU between blocks, domain padding, grid
+    concat in the lift) to [B, D, H, W, C] volumes.  The spectral conv uses
+    the stacked-corner weight layout and, off-CPU, the matmul-DFT
+    implementation (six truncated-DFT matmuls — pure MXU, no FFT
+    primitive), exactly like FNO2d one axis up.
+    """
+
+    modes1: int
+    modes2: int
+    modes3: int
+    width: int
+    in_feats: int = 1
+    padding: int = 6
+    spectral_impl: str = "auto"
+
+    _resolve_impl = FNO2d._resolve_impl
+
+    def init(self, key) -> dict:
+        w = self.width
+        ks = jax.random.split(key, 14)
+        params = {
+            "p": linear_init(ks[0], self.in_feats + 3, w),
+            "q": {"mlp1": _conv1x1_init(ks[1], w, w * 4),
+                  "mlp2": _conv1x1_init(ks[2], w * 4, 128)},
+        }
+        for i in range(4):
+            params[f"conv{i}"] = _spectral_init_3d(
+                ks[3 + i], w, w, self.modes1, self.modes2, self.modes3)
+            params[f"w{i}"] = _conv1x1_init(ks[7 + i], w, w)
+            params[f"mlp{i}"] = {
+                "mlp1": _conv1x1_init(jax.random.fold_in(ks[11], i), w, w),
+                "mlp2": _conv1x1_init(jax.random.fold_in(ks[12], i), w, w)}
+        return params
+
+    def import_pth(self, state_dict) -> dict:
+        """Params from the canonical torch FNO3d layout (four corner weight
+        blocks ``conv{i}.weights{1-4}`` covering the (d, h) spectrum-end
+        combinations), mapped onto the stacked [Ci,Co,2m1,2m2,m3] block:
+        rows ``[0:m1]`` = low d / ``[m1:2m1]`` = high d, cols likewise."""
+        import numpy as np
+
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in state_dict.items()}
+
+        def lin(prefix):
+            return {"w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).T,
+                                     jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+        def conv1x1(prefix):  # Conv3d k=1 weight [out,in,1,1,1] (or [o,i,1,1])
+            w = np.asarray(sd[f"{prefix}.weight"])
+            w = w.reshape(w.shape[0], w.shape[1])
+            return {"w": jnp.asarray(w.T, jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+        params = {"p": lin("p"),
+                  "q": {"mlp1": conv1x1("q.mlp1"), "mlp2": conv1x1("q.mlp2")}}
+        for i in range(4):
+            corners = [np.asarray(sd[f"conv{i}.weights{j}"]) for j in (1, 2, 3, 4)]
+            # canonical order: w1 = (low d, low h), w2 = (high d, low h),
+            # w3 = (low d, high h), w4 = (high d, high h)
+            lo = np.concatenate([corners[0], corners[2]], axis=3)
+            hi = np.concatenate([corners[1], corners[3]], axis=3)
+            w = np.concatenate([lo, hi], axis=2)
+            params[f"conv{i}"] = {
+                "w_re": jnp.asarray(w.real, jnp.float32),
+                "w_im": jnp.asarray(w.imag, jnp.float32)}
+            params[f"w{i}"] = conv1x1(f"w{i}")
+            params[f"mlp{i}"] = {"mlp1": conv1x1(f"mlp{i}.mlp1"),
+                                 "mlp2": conv1x1(f"mlp{i}.mlp2")}
+        return params
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, D, H, W, C_in] -> [B, D, H, W, 128]."""
+        b, d, h, w_dim = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
+
+        def axis_grid(n, axis):
+            g = jnp.linspace(0, 1, n).reshape(
+                [1] + [n if a == axis else 1 for a in range(3)] + [1])
+            return jnp.broadcast_to(g, (b, d, h, w_dim, 1))
+
+        x = jnp.concatenate(
+            [x, axis_grid(d, 0), axis_grid(h, 1), axis_grid(w_dim, 2)], axis=-1)
+        x = linear(params["p"], x)
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B, C, D, H, W]
+        pad = self.padding
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, pad), (0, pad)))
+        spectral = (_spectral_conv_3d if self._resolve_impl() == "fft"
+                    else _spectral_conv3d_matmul)
+
+        for i in range(4):
+            x1 = spectral(params[f"conv{i}"], x,
+                          self.modes1, self.modes2, self.modes3)
+            x1 = _mlp_block_3d(params[f"mlp{i}"], x1)
+            x2 = _conv1x1_3d(params[f"w{i}"], x)
+            x = x1 + x2
+            if i < 3:
+                x = jax.nn.gelu(x, approximate=False)
+
+        if pad:
+            x = x[..., :-pad, :-pad, :-pad]
+        x = _mlp_block_3d(params["q"], x)
+        return jnp.transpose(x, (0, 2, 3, 4, 1))

@@ -24,13 +24,13 @@ unconsumed in both trees.
 from __future__ import annotations
 
 from .deeponet import DeepONet
-from .fno import FNO2d
+from .fno import FNO2d, FNO3d
 from .graphsage import GraphSAGE
 from .kernelnn import KernelNN
 from .teecnet import TEECNet
 
 GRAPH_MODELS = ("teecnet", "graphsage", "neuralop")
-GRID_MODELS = ("fno", "deeponet")
+GRID_MODELS = ("fno", "fno3d", "deeponet")
 
 
 def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
@@ -42,6 +42,17 @@ def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
         return FNO2d(modes1=in_channels, modes2=out_channels,
                      width=kwargs["width"],
                      in_feats=kwargs.get("in_feats", 256))
+    elif type == "fno3d":
+        # beyond-parity volumetric FNO (no reference analog, hence no
+        # positional-binding quirk): modes from the `modes` exp-config key
+        # (int, or [m1, m2, m3]); in_feats = the raw field channel count
+        modes = kwargs.get("modes", 8)
+        m1, m2, m3 = (modes if isinstance(modes, (list, tuple))
+                      else (modes, modes, modes))
+        return FNO3d(modes1=int(m1), modes2=int(m2), modes3=int(m3),
+                     width=kwargs["width"],
+                     in_feats=kwargs.get("in_feats", in_channels),
+                     padding=int(kwargs.get("padding", 6)))
     elif type == "teecnet":
         return TEECNet(
             in_channels=in_channels,
