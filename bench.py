@@ -192,30 +192,20 @@ def bench_train(raw, iters: int = 4, kernel_rank: int | None = None):
     return tput, info
 
 
-def bench_fno(iters: int = 20) -> float:
-    """Grid-family row (round 3, VERDICT missing #3): FNO2d forward
-    throughput in cells/s on the available accelerator, chained-scan timed.
-
-    Runs the matmul-DFT spectral conv (models/fno.py) — the TPU production
-    path; the advected-task shape (batch 8 of 64x64, width 16, modes 12 —
-    configs/exp_config/fno_advected.yaml)."""
+def _bench_grid_forward(model, x0, iters: int = 20) -> float:
+    """Chained-scan forward timing for a grid model: cells/s (honest on the
+    relay — identical executions are cached, so each scan step feeds the
+    previous output back in; a host-side scalar read forces execution)."""
     import jax
     import jax.numpy as jnp
 
-    from fast_eng_super_resolution_tpu.models.fno import FNO2d
-
-    b, hw = (2, 16) if SMALL else (8, 64)
-    model = FNO2d(modes1=12, modes2=12, width=16, in_feats=1,
-                  spectral_impl="matmul" if jax.default_backend() != "cpu"
-                  else "fft")
     params = model.init(jax.random.PRNGKey(0))
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, hw, hw, 1))
 
     @jax.jit
     def chained(params, x0):
         def body(x, _):
             out = model.apply(params, x)
-            return out[..., :1] * 1e-3 + x0, None
+            return out[..., : x0.shape[-1]] * 1e-3 + x0, None
 
         x, _ = jax.lax.scan(body, x0, None, length=iters)
         return x
@@ -227,7 +217,43 @@ def bench_fno(iters: int = 20) -> float:
         float(jnp.sum(chained(params, x0)))  # host sync forces execution
         times.append(time.perf_counter() - t0)
     dt = min(times) / iters
-    return b * hw * hw / dt
+    return int(np.prod(x0.shape[:-1])) / dt
+
+
+def bench_fno(iters: int = 20) -> float:
+    """Grid-family row (round 3, VERDICT missing #3): FNO2d forward
+    throughput in cells/s on the available accelerator, chained-scan timed.
+
+    Runs the matmul-DFT spectral conv (models/fno.py) — the TPU production
+    path; the advected-task shape (batch 8 of 64x64, width 16, modes 12 —
+    configs/exp_config/fno_advected.yaml)."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    b, hw = (2, 16) if SMALL else (8, 64)
+    model = FNO2d(modes1=12, modes2=12, width=16, in_feats=1,
+                  spectral_impl="matmul" if jax.default_backend() != "cpu"
+                  else "fft")
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, hw, hw, 1))
+    return _bench_grid_forward(model, x0, iters)
+
+
+def bench_fno3d(iters: int = 10) -> float:
+    """FNO3d forward throughput in cells/s — the volumetric operator at the
+    shipped advected3d shape (batch 4 of 32^3, width 16, modes 8 —
+    configs/exp_config/fno3d_advected.yaml)."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO3d
+
+    b, n = (1, 12) if SMALL else (4, 32)
+    model = FNO3d(modes1=8, modes2=8, modes3=8, width=16, in_feats=1,
+                  padding=3 if SMALL else 6,
+                  spectral_impl="matmul" if jax.default_backend() != "cpu"
+                  else "fft")
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, n, n, n, 1))
+    return _bench_grid_forward(model, x0, iters)
 
 
 def bench_torch_baseline(raw, params, model) -> float:
@@ -305,6 +331,11 @@ def main():
     except Exception as e:
         print(f"fno bench failed: {e!r}", file=sys.stderr)
         fno_tput = 0.0
+    try:
+        fno3d_tput = bench_fno3d()
+    except Exception as e:
+        print(f"fno3d bench failed: {e!r}", file=sys.stderr)
+        fno3d_tput = 0.0
     # beyond-parity low-rank rows (kernel_rank=16: 90% of full-rank quality
     # at ~1.5x inference / ~1.2x training speedup measured round 3) — clearly
     # labeled secondary metrics so regressions in the factorized fused
@@ -335,6 +366,7 @@ def main():
         # fwd+bwd+Adam merged-layout path, regression-visible per round
         "train_nodes_per_s": round(train_tput, 1),
         "fno_cells_per_s": round(fno_tput, 1),
+        "fno3d_cells_per_s": round(fno3d_tput, 1),
     }
     if lr_tput:
         rec["lowrank16_nodes_per_s"] = round(lr_tput, 1)

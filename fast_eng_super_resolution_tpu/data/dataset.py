@@ -599,5 +599,8 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "ns_grid":
         from .grid_dataset import NavierStokesDataset
         return NavierStokesDataset(root=root, **kwargs)
+    elif name == "ns3d_grid":
+        from .grid_dataset import NSSpacetimeDataset
+        return NSSpacetimeDataset(root=root, **kwargs)
     else:
         raise ValueError(f"Invalid dataset name: {name}")

@@ -487,7 +487,8 @@ def _low_mode_vorticity(n: int, rng: np.random.Generator,
 
 def simulate_ns_vorticity(w0: np.ndarray, t_end: float = 5.0,
                           nu: float = 1e-3, dt: float = 5e-3,
-                          forcing_amp: float = 0.1) -> np.ndarray:
+                          forcing_amp: float = 0.1,
+                          n_frames: int = 0) -> np.ndarray:
     """Pseudo-spectral 2D incompressible Navier-Stokes in vorticity form on
     the periodic unit square: dw/dt + u.grad(w) = nu lap(w) + f, with the
     standard fixed forcing f = amp (sin(2pi(x+y)) + cos(2pi(x+y))).
@@ -496,6 +497,11 @@ def simulate_ns_vorticity(w0: np.ndarray, t_end: float = 5.0,
     viscosity — unconditionally stable in the stiff diffusive part; dt obeys
     the advective CFL for the O(1)-velocity regime this task generates.
     Host-side ETL (numpy FFT), like every other generator here.
+
+    ``n_frames=0`` (default) returns the final state [n, n]; ``n_frames=T``
+    returns the trajectory [T, n, n] sampled at equal step intervals ending
+    at t_end (frame i = step ``steps*(i+1)//T``, so t=0 is never a frame —
+    the IC is an input channel, not a target).
     """
     n = w0.shape[0]
     k = 2.0 * np.pi * np.fft.fftfreq(n, 1.0 / n)
@@ -526,12 +532,22 @@ def simulate_ns_vorticity(w0: np.ndarray, t_end: float = 5.0,
     w_hat = np.fft.fft2(np.asarray(w0, np.float64))
     visc = np.exp(-nu * k2 * dt)  # exact integrating factor exp(L dt)
     steps = int(round(t_end / dt))
-    for _ in range(steps):
+    if n_frames > steps:
+        raise ValueError(f"n_frames={n_frames} exceeds solver steps={steps}")
+    # distinct for every i when n_frames <= steps (stride >= 1 per frame)
+    frame_steps = ({steps * (i + 1) // n_frames for i in range(n_frames)}
+                   if n_frames else set())
+    frames = []
+    for s in range(steps):
         # ETD-Heun: w+ = E w + dt/2 (E N(w) + N(E (w + dt N(w))))
         n1 = rhs_advect(w_hat)
         w_pred = (w_hat + dt * n1) * visc
         n2 = rhs_advect(w_pred)
         w_hat = w_hat * visc + 0.5 * dt * (n1 * visc + n2)
+        if s + 1 in frame_steps:
+            frames.append(np.fft.ifft2(w_hat).real.astype(np.float32))
+    if n_frames:
+        return np.stack(frames)
     return np.fft.ifft2(w_hat).real.astype(np.float32)
 
 
@@ -564,6 +580,65 @@ def ns_vorticity_pair(n: int, rng: np.random.Generator, factor: int = 4,
     x = np.stack([up / scale, w0 / scale], axis=-1).astype(np.float32)
     y = (fine / scale)[..., None].astype(np.float32)
     return x, y
+
+
+def ns_spacetime_pair(n: int, rng: np.random.Generator, factor: int = 4,
+                      t_frames: int = 16, t_end: float = 2.0,
+                      nu: float = 1e-4, amp: float = 3.0, dt: float = 5e-3,
+                      forcing_amp: float = 0.1,
+                      max_mode: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """One space-time Navier-Stokes pair for the volumetric operator (FNO3d
+    over (t, x, y)) — the canonical FNO-paper NS setup cast in this
+    framework's super-resolution structure.
+
+    The same low-mode initial vorticity is evolved on the fine and the
+    ``factor``x-coarser spatial grid (both at the fine solver dt), and
+    ``t_frames`` frames ending at t_end are recorded from each run.  The
+    model maps the full coarse TRAJECTORY (bilinearly upsampled per frame,
+    plus the IC as a second channel) to the fine trajectory — the temporal
+    axis gives the operator strictly more resolved information than the
+    single-frame 'ns_grid' task (each coarse frame constrains the fine one),
+    which is exactly what the space-time formulation is for.
+
+    Returns (x [T, n, n, 2], y [T, n, n, 1]) float32.
+    """
+    _check_coarse_nyquist(n, factor, max_mode)
+    w0 = _low_mode_vorticity(n, rng, max_mode=max_mode) * amp
+    fine = simulate_ns_vorticity(w0, t_end=t_end, nu=nu, dt=dt,
+                                 forcing_amp=forcing_amp, n_frames=t_frames)
+    coarse = simulate_ns_vorticity(w0[::factor, ::factor], t_end=t_end,
+                                   nu=nu, dt=dt, forcing_amp=forcing_amp,
+                                   n_frames=t_frames)
+    q = np.arange(n) / factor
+    gxq, gyq = np.meshgrid(q, q, indexing="ij")  # _bilinear_sample is periodic
+    up = np.stack([_bilinear_sample(c, gxq, gyq) for c in coarse])
+    scale = np.abs(fine).max() + 1e-12
+    ic = np.broadcast_to(w0[None], fine.shape)
+    x = np.stack([up / scale, ic / scale], axis=-1).astype(np.float32)
+    y = (fine / scale)[..., None].astype(np.float32)
+    return x, y
+
+
+class NSSpacetimeDataset(_CachedGridDataset):
+    """Space-time NS vorticity workload for FNO3d (see ns_spacetime_pair).
+    Samples are {'x': [T, n, n, 2], 'y': [T, n, n, 1]}; cached under
+    root/processed with param-keyed verification like the other grids."""
+
+    _filename = "ns3d_data.npz"
+
+    def __init__(self, root: str, num_samples: int = 128, resolution: int = 64,
+                 downsample: int = 4, t_frames: int = 16, t_end: float = 2.0,
+                 nu: float = 1e-4, amp: float = 3.0, dt: float = 5e-3,
+                 forcing_amp: float = 0.1, max_mode: int = 3, seed: int = 0,
+                 **kwargs):
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, t_frames=t_frames, t_end=t_end,
+                      nu=nu, amp=amp, dt=dt, forcing_amp=forcing_amp,
+                      max_mode=max_mode, seed=seed)
+        super().__init__(root, params, lambda rng: ns_spacetime_pair(
+            resolution, rng, factor=downsample, t_frames=t_frames,
+            t_end=t_end, nu=nu, amp=amp, dt=dt, forcing_amp=forcing_amp,
+            max_mode=max_mode))
 
 
 class NavierStokesDataset(_CachedGridDataset):

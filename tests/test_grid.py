@@ -502,3 +502,39 @@ def test_fno3d_trains_on_advected3d(tmp_path):
     assert np.isfinite(last)
     assert last < 0.5 * first, (first, last)
     assert np.asarray(trainer.predict(params, x)).shape == y.shape
+
+
+def test_ns_spacetime_pair_and_dataset(tmp_path):
+    """Space-time NS pairs: trajectory frames ordered (coarse-grid error
+    grows with horizon on average), IC channel constant over t, dataset
+    factory + cache round-trip."""
+    from fast_eng_super_resolution_tpu.data.dataset import init_dataset
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        NSSpacetimeDataset, ns_spacetime_pair, simulate_ns_vorticity)
+
+    rng = np.random.default_rng(0)
+    x, y = ns_spacetime_pair(32, rng, factor=4, t_frames=4, t_end=0.5)
+    assert x.shape == (4, 32, 32, 2) and y.shape == (4, 32, 32, 1)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    # IC channel is the same field at every frame
+    assert np.array_equal(x[0, ..., 1], x[-1, ..., 1])
+    # coarse-run error grows with horizon
+    errs = [float(((x[t, ..., :1] - y[t]) ** 2).mean()) for t in range(4)]
+    assert errs[-1] > errs[0], errs
+    # trajectory endpoint == single-frame solve at the same params
+    traj = simulate_ns_vorticity(np.ones((16, 16)) * 0.1, t_end=0.1,
+                                 dt=5e-3, n_frames=4)
+    final = simulate_ns_vorticity(np.ones((16, 16)) * 0.1, t_end=0.1, dt=5e-3)
+    assert traj.shape == (4, 16, 16)
+    np.testing.assert_allclose(traj[-1], final, rtol=1e-6)
+    with pytest.raises(ValueError, match="n_frames"):
+        simulate_ns_vorticity(np.ones((16, 16)), t_end=0.01, dt=5e-3,
+                              n_frames=4)
+
+    ds = init_dataset("ns3d_grid", str(tmp_path), num_samples=2,
+                      resolution=32, t_frames=4, t_end=0.25)
+    assert isinstance(ds, NSSpacetimeDataset)
+    assert ds[0]["x"].shape == (4, 32, 32, 2)
+    ds2 = NSSpacetimeDataset(str(tmp_path), num_samples=2, resolution=32,
+                             t_frames=4, t_end=0.25)
+    np.testing.assert_array_equal(ds2[1]["y"], ds[1]["y"])
