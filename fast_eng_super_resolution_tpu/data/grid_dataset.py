@@ -532,8 +532,9 @@ def simulate_ns_vorticity(w0: np.ndarray, t_end: float = 5.0,
     w_hat = np.fft.fft2(np.asarray(w0, np.float64))
     visc = np.exp(-nu * k2 * dt)  # exact integrating factor exp(L dt)
     steps = int(round(t_end / dt))
-    if n_frames > steps:
-        raise ValueError(f"n_frames={n_frames} exceeds solver steps={steps}")
+    if n_frames < 0 or n_frames > steps:
+        raise ValueError(
+            f"n_frames={n_frames} must be in [0, solver steps={steps}]")
     # distinct for every i when n_frames <= steps (stride >= 1 per frame)
     frame_steps = ({steps * (i + 1) // n_frames for i in range(n_frames)}
                    if n_frames else set())
