@@ -87,43 +87,49 @@ def _dft_mats(h: int, w: int, m1: int, m2: int):
             for k, v in {"fw": fw, "fh": fh, "gh": gh, "gw": gw}.items()}
 
 
-def _spectral_conv_matmul(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndarray:
-    """FFT-free spectral conv: four truncated-DFT matmuls + mode mix.
+@functools.lru_cache(maxsize=32)
+def _dft_mats_packed(h: int, w: int, m1: int, m2: int):
+    """Complex-block-packed ``_dft_mats`` (see ``_dft_mats_3d_packed``):
+    one einsum per complex stage.  ``fw`` (real input) and ``gw`` (real
+    output, Re() folded in) carry half blocks."""
+    m = _dft_mats(h, w, m1, m2)
 
-    Bit-equivalent (to f32 tolerance) to ``_spectral_conv``; runs entirely on
-    the MXU.  Complex arithmetic is expanded over separate re/im operands.
+    def blk(re_im):
+        re, im = re_im
+        return np.ascontiguousarray(
+            np.stack([np.stack([re, im], -1), np.stack([-im, re], -1)], 1),
+            np.float32)
+
+    fw = np.ascontiguousarray(np.stack(m["fw"], -1), np.float32)  # [W,m2,2]
+    gw = np.ascontiguousarray(
+        np.stack([m["gw"][0], -m["gw"][1]], 1), np.float32)       # [m2,2,W]
+    return {"fw": fw, "fh": blk(m["fh"]), "gh": blk(m["gh"]), "gw": gw}
+
+
+def _spectral_conv_matmul(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndarray:
+    """FFT-free spectral conv: truncated-DFT matmuls + mode mix.
+
+    Bit-equivalent (to f32 tolerance) to ``_spectral_conv``; runs entirely
+    on the MXU.  Complex arithmetic runs in the packed block form (5 einsums
+    instead of 16 — same accumulation lengths, identical CPU numerics; the
+    packing won 23%/conv for the 3D operator on the v5e, see
+    ``_spectral_conv3d_matmul``).
     """
     h, w = x.shape[-2], x.shape[-1]
-    mats = _dft_mats(h, w, m1, m2)
-    fw_re, fw_im = map(jnp.asarray, mats["fw"])
-    fh_re, fh_im = map(jnp.asarray, mats["fh"])
-    gh_re, gh_im = map(jnp.asarray, mats["gh"])
-    gw_re, gw_im = map(jnp.asarray, mats["gw"])
-
-    # forward: X[r,k] = sum_{h,w} x[h,w] Fh[h,r] Fw[w,k]   (x real)
-    xw_re = jnp.einsum("bchw,wk->bchk", x, fw_re)
-    xw_im = jnp.einsum("bchw,wk->bchk", x, fw_im)
-    x_re = jnp.einsum("bchk,hr->bcrk", xw_re, fh_re) - jnp.einsum(
-        "bchk,hr->bcrk", xw_im, fh_im)
-    x_im = jnp.einsum("bchk,hr->bcrk", xw_re, fh_im) + jnp.einsum(
-        "bchk,hr->bcrk", xw_im, fh_re)
-
-    # mode mixing: weights for rows [0:m1] (w1) and [h-m1:h] (w2), stacked
+    mats = _dft_mats_packed(h, w, m1, m2)
+    fw, fh, gh, gw = (jnp.asarray(mats[k]) for k in ("fw", "fh", "gh", "gw"))
+    # weights for rows [0:m1] (w1) and [h-m1:h] (w2), stacked, then blocked
     w_re = jnp.concatenate([p["w1_re"], p["w2_re"]], axis=2)  # [Ci,Co,2m1,m2]
     w_im = jnp.concatenate([p["w1_im"], p["w2_im"]], axis=2)
-    y_re = jnp.einsum("birk,iork->bork", x_re, w_re) - jnp.einsum(
-        "birk,iork->bork", x_im, w_im)
-    y_im = jnp.einsum("birk,iork->bork", x_re, w_im) + jnp.einsum(
-        "birk,iork->bork", x_im, w_re)
+    wgt = jnp.stack([jnp.stack([w_re, w_im], -1),
+                     jnp.stack([-w_im, w_re], -1)], 2)        # [i,o,e,r,k,f]
 
-    # inverse: out = Re( Gh^T Y Gw ) — Re() reproduces irfft's ignored
-    # DC/Nyquist imaginary parts, so only the real-output matmuls are needed
-    z_re = jnp.einsum("bork,rh->bohk", y_re, gh_re) - jnp.einsum(
-        "bork,rh->bohk", y_im, gh_im)
-    z_im = jnp.einsum("bork,rh->bohk", y_re, gh_im) + jnp.einsum(
-        "bork,rh->bohk", y_im, gh_re)
-    return jnp.einsum("bohk,kw->bohw", z_re, gw_re) - jnp.einsum(
-        "bohk,kw->bohw", z_im, gw_im)
+    t = jnp.einsum("bchw,wkf->bchkf", x, fw)       # forward rDFT over W
+    v = jnp.einsum("bchke,herf->bcrkf", t, fh)     # truncated DFT over H
+    y = jnp.einsum("birke,ioerkf->borkf", v, wgt)  # per-mode channel mix
+    z = jnp.einsum("borke,rehf->bohkf", y, gh)     # inverse DFT over H
+    # real-output inverse rDFT over W (Re() folded into gw's half block)
+    return jnp.einsum("bohke,kew->bohw", z, gw)
 
 
 def _spectral_init_3d(key, c_in: int, c_out: int,
