@@ -247,9 +247,12 @@ def bench_fno3d(iters: int = 10) -> float:
 
     from fast_eng_super_resolution_tpu.models.fno import FNO3d
 
-    b, n = (1, 12) if SMALL else (4, 32)
-    model = FNO3d(modes1=8, modes2=8, modes3=8, width=16, in_feats=1,
-                  padding=3 if SMALL else 6,
+    # SMALL needs modes that fit the tiny grid: 12 + pad 3 = 15 supports
+    # m1 <= 7 (2*m1 rows), so use 4 — modes 8 would raise on the matmul
+    # path and silently corrupt the fft path before the shared guard
+    b, n, modes = (1, 12, 4) if SMALL else (4, 32, 8)
+    model = FNO3d(modes1=modes, modes2=modes, modes3=modes, width=16,
+                  in_feats=1, padding=3 if SMALL else 6,
                   spectral_impl="matmul" if jax.default_backend() != "cpu"
                   else "fft")
     x0 = jax.random.normal(jax.random.PRNGKey(1), (b, n, n, n, 1))

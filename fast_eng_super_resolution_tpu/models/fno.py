@@ -43,9 +43,22 @@ def _spectral_init(key, c_in: int, c_out: int, m1: int, m2: int) -> dict:
     }
 
 
+def _check_modes_2d(h: int, w: int, m1: int, m2: int) -> None:
+    """Kept modes must fit the grid: below ``2*m1`` DFT rows the two
+    spectrum-end row selections overlap and the conv silently computes a
+    DIFFERENT operator (the fft path's corner scatters overwrite each
+    other); the matmul path would mis-shape.  Both impls validate so a
+    too-small grid fails identically on every backend."""
+    if h < 2 * m1 or m2 > w // 2 + 1:
+        raise ValueError(
+            f"grid {h}x{w} too small for spectral modes ({m1},{m2}); "
+            "pad the domain or reduce modes")
+
+
 def _spectral_conv(p: dict, x: jnp.ndarray, m1: int, m2: int) -> jnp.ndarray:
     """SpectralConv2d.forward (model.py:35-49). x: [B, C, H, W]."""
     h, w = x.shape[-2], x.shape[-1]
+    _check_modes_2d(h, w, m1, m2)
     x_ft = jnp.fft.rfft2(x)  # [B, C, H, W//2+1] complex
     w1 = p["w1_re"] + 1j * p["w1_im"]
     w2 = p["w2_re"] + 1j * p["w2_im"]
@@ -66,10 +79,7 @@ def _dft_mats(h: int, w: int, m1: int, m2: int):
     ``[0:m1] + [h-m1:h]``, cols ``[0:m2]``), including irfft's ignored
     imaginary parts of the DC / Nyquist columns (the final ``Re``).
     """
-    if h < 2 * m1 or m2 > w // 2 + 1:
-        raise ValueError(
-            f"grid {h}x{w} too small for matmul-DFT modes ({m1},{m2}); "
-            "pad the domain or reduce modes")
+    _check_modes_2d(h, w, m1, m2)
     rows = np.concatenate([np.arange(m1), np.arange(h - m1, h)])
     hh = np.arange(h)[:, None]
     ww = np.arange(w)[:, None]
@@ -87,19 +97,24 @@ def _dft_mats(h: int, w: int, m1: int, m2: int):
             for k, v in {"fw": fw, "fh": fh, "gh": gh, "gw": gw}.items()}
 
 
+def _complex_block(re_im) -> np.ndarray:
+    """[K, N] complex matrix (as a re/im pair) -> [K, 2, N, 2] real block
+    so a complex GEMM is ONE einsum: contraction over (K, in-re/im ``e``),
+    output over (N, out-re/im ``f``).  Shared by the 2D and 3D packed
+    DFT-matrix builders."""
+    re, im = re_im
+    return np.ascontiguousarray(
+        np.stack([np.stack([re, im], -1), np.stack([-im, re], -1)], 1),
+        np.float32)
+
+
 @functools.lru_cache(maxsize=32)
 def _dft_mats_packed(h: int, w: int, m1: int, m2: int):
     """Complex-block-packed ``_dft_mats`` (see ``_dft_mats_3d_packed``):
     one einsum per complex stage.  ``fw`` (real input) and ``gw`` (real
     output, Re() folded in) carry half blocks."""
     m = _dft_mats(h, w, m1, m2)
-
-    def blk(re_im):
-        re, im = re_im
-        return np.ascontiguousarray(
-            np.stack([np.stack([re, im], -1), np.stack([-im, re], -1)], 1),
-            np.float32)
-
+    blk = _complex_block
     fw = np.ascontiguousarray(np.stack(m["fw"], -1), np.float32)  # [W,m2,2]
     gw = np.ascontiguousarray(
         np.stack([m["gw"][0], -m["gw"][1]], 1), np.float32)       # [m2,2,W]
@@ -144,6 +159,17 @@ def _spectral_init_3d(key, c_in: int, c_out: int,
             "w_im": scale * jax.random.uniform(ks[1], shape)}
 
 
+def _check_modes_3d(d: int, h: int, w: int,
+                    m1: int, m2: int, m3: int) -> None:
+    """3D analog of ``_check_modes_2d``: both spectral impls validate, so a
+    too-small grid fails identically on every backend instead of the fft
+    path silently computing an overlap-corrupted operator."""
+    if d < 2 * m1 or h < 2 * m2 or m3 > w // 2 + 1:
+        raise ValueError(
+            f"grid {d}x{h}x{w} too small for spectral modes "
+            f"({m1},{m2},{m3}); pad the domain or reduce modes")
+
+
 def _spectral_conv_3d(p: dict, x: jnp.ndarray,
                       m1: int, m2: int, m3: int) -> jnp.ndarray:
     """FFT-path 3D spectral conv (CPU parity oracle). x: [B, C, D, H, W].
@@ -152,6 +178,7 @@ def _spectral_conv_3d(p: dict, x: jnp.ndarray,
     axis, full DFT over D and H with modes kept from both spectrum ends.
     """
     d, h, w = x.shape[-3], x.shape[-2], x.shape[-1]
+    _check_modes_3d(d, h, w, m1, m2, m3)
     x_ft = jnp.fft.rfftn(x, axes=(-3, -2, -1))  # [B, C, D, H, W//2+1]
     xd = jnp.concatenate([x_ft[:, :, :m1], x_ft[:, :, d - m1:]], axis=2)
     sel = jnp.concatenate([xd[:, :, :, :m2], xd[:, :, :, h - m2:]], axis=3)
@@ -177,10 +204,7 @@ def _dft_mats_3d(d: int, h: int, w: int, m1: int, m2: int, m3: int):
     Hermitian-mirror doubling (DC / even-W Nyquist columns not doubled) —
     identical math to the 2D ``_dft_mats``, one axis more.
     """
-    if d < 2 * m1 or h < 2 * m2 or m3 > w // 2 + 1:
-        raise ValueError(
-            f"grid {d}x{h}x{w} too small for matmul-DFT modes "
-            f"({m1},{m2},{m3}); pad the domain or reduce modes")
+    _check_modes_3d(d, h, w, m1, m2, m3)
 
     def full_axis(n, m):
         rows = np.concatenate([np.arange(m), np.arange(n - m, n)])
@@ -216,13 +240,7 @@ def _dft_mats_3d_packed(d: int, h: int, w: int, m1: int, m2: int, m3: int):
     fewer, wider GEMMs win.  ``fw`` (real input) and ``gw`` (real output)
     need only half the block."""
     m = _dft_mats_3d(d, h, w, m1, m2, m3)
-
-    def blk(re_im):
-        re, im = re_im
-        return np.ascontiguousarray(
-            np.stack([np.stack([re, im], -1), np.stack([-im, re], -1)], 1),
-            np.float32)
-
+    blk = _complex_block
     fw = np.ascontiguousarray(np.stack(m["fw"], -1), np.float32)  # [W,m3,2]
     gw = np.ascontiguousarray(
         np.stack([m["gw"][0], -m["gw"][1]], 1), np.float32)       # [m3,2,W]

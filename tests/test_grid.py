@@ -574,3 +574,20 @@ def test_fno3d_spatial_sharding_parity():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_spectral_fft_path_too_small_raises():
+    """Both spectral impls (2D and 3D) reject mode counts the grid cannot
+    hold — the fft path used to silently compute an overlap-corrupted
+    operator where the matmul path raised (review finding)."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.fno import (
+        _spectral_conv, _spectral_conv_3d, _spectral_init, _spectral_init_3d)
+
+    p2 = _spectral_init(jax.random.PRNGKey(0), 2, 2, 12, 12)
+    with pytest.raises(ValueError, match="too small"):
+        _spectral_conv(p2, jax.numpy.zeros((1, 2, 20, 24)), 12, 12)
+    p3 = _spectral_init_3d(jax.random.PRNGKey(0), 2, 2, 4, 3, 3)
+    with pytest.raises(ValueError, match="too small"):
+        _spectral_conv_3d(p3, jax.numpy.zeros((1, 2, 4, 12, 9)), 4, 3, 3)
