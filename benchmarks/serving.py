@@ -37,8 +37,43 @@ _HERE = (os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals()
 sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("benchmarks") else _HERE)
 
 
+def grid_main(args):
+    """Grid-family serving lane: warm per-volume predict latency.
+
+    The grid predict path is already one jit dispatch per request
+    (GridTrainer caches its jit on the instance); this measures the
+    steady-state floor for FNO2d (64^2) and FNO3d (32^3) volumes — on the
+    relay it should sit at the tunnel RTT (~35-40 ms) + payload transfer,
+    like the mesh fast path.  Latency does not need a trained model."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d, FNO3d
+    from fast_eng_super_resolution_tpu.parallel.grid_train import GridTrainer
+
+    rng = np.random.default_rng(0)
+    cases = [
+        ("fno2d 64x64", FNO2d(modes1=12, modes2=12, width=16, in_feats=1),
+         rng.normal(size=(1, 64, 64, 1)).astype(np.float32)),
+        ("fno3d 32^3", FNO3d(modes1=8, modes2=8, modes3=8, width=16,
+                             in_feats=1),
+         rng.normal(size=(1, 32, 32, 32, 1)).astype(np.float32)),
+    ]
+    for name, model, x in cases:
+        tr = GridTrainer(model, lr=0.0, out_channels=1)
+        params, _ = tr.init(jax.random.PRNGKey(0), x)
+        np.asarray(tr.predict(params, x))  # compile + warm
+        ts = sorted(_time(lambda: np.asarray(tr.predict(params, x)))
+                    for _ in range(args.requests))
+        print(f"{name}: p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
+              f"min {ts[0] * 1e3:.0f} ms", flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--grid", action="store_true",
+                        help="measure the grid-family lane (FNO2d/FNO3d "
+                             "warm per-volume predict) instead of the mesh "
+                             "scheduler paths")
     parser.add_argument("--requests", type=int, default=10)
     parser.add_argument("--width", type=int, default=48)
     parser.add_argument("--depth", type=int, default=4)
@@ -53,6 +88,8 @@ def main():
                              "the serve program as data).  Measured round 3: "
                              "p50 35 ms at 2 experts, 432-node mesh")
     args = parser.parse_args()
+    if args.grid:
+        return grid_main(args)
 
     from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
