@@ -32,6 +32,11 @@ def main():
     parser.add_argument("--subdomains", type=int, default=64)
     parser.add_argument("--chunk", type=int, default=2,
                         help="subdomains per device step")
+    parser.add_argument("--fused", action="store_true",
+                        help="run the fused Pallas conv path (per-chunk "
+                             "merged groups + host-built scatter blocks — "
+                             "the scheduler's production serving kernel) "
+                             "instead of the XLA edge3d path")
     args = parser.parse_args()
 
     import jax
@@ -95,6 +100,9 @@ def main():
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *chunks)
 
+    if args.fused:
+        return run_fused(args, mesh, batch, n_chunks, t_part)
+
     @jax.jit
     def run_all(params, stacked):
         def one(chunk):
@@ -147,6 +155,87 @@ def main():
 
     total_nodes = len(mesh.points)
     print(f"inference: {t_infer:.2f}s  ({total_nodes / t_infer:,.0f} nodes/s)")
+    print(f"reconstruction: {t_recon:.2f}s")
+    print(f"end-to-end (part+infer+recon): "
+          f"{total_nodes / (t_part + t_infer + t_recon):,.0f} nodes/s")
+    assert np.isfinite(recon).all()
+
+
+def run_fused(args, mesh, batch, n_chunks: int, t_part: float):
+    """Fused-kernel variant of the device stage: per-chunk merged groups +
+    host-built scatter blocks (parallel.train.make_fused_shard_batches —
+    the same prep the scheduler's production serving path uses), all groups
+    through ONE jitted lax.map of the fused Pallas conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.parallel.train import (
+        make_fused_shard_batches)
+
+    model = KernelNN(width=args.width, ker_width=args.width, depth=5,
+                     ker_in=1, in_width=4, out_width=4)
+    params = model.init(jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    host_batch = jax.tree_util.tree_map(np.asarray, batch)
+    batchd, rb, bk = make_fused_shard_batches(host_batch, model, n_chunks)
+    b, n = batch.x.shape[0], batch.x.shape[1]
+    per = b // n_chunks
+    x_st = jnp.asarray(host_batch.x.reshape(n_chunks, per * n, -1))
+    ea = jnp.asarray(batchd["fused"]["edge_attr"])
+    sp = jnp.asarray(batchd["fused"]["aux"]["senders_perm"])
+    sm = jnp.asarray(batchd["fused"]["s"])
+    t_prep = time.perf_counter() - t0
+    print(f"fused prep: rows_blk={rb} blk={bk} ({t_prep:.1f}s)")
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+
+    @jax.jit
+    def run_all(params, x_st):
+        def one(operands):
+            xm, ea_c, sp_c, sm_c = operands
+            return model.apply_fused(params, xm, ea_c, sp_c, sm_c,
+                                     rows_blk=rb, blk=bk, interpret=interp)
+
+        return jax.lax.map(one, (x_st, ea, sp, sm))
+
+    out = run_all(params, x_st)
+    float(jnp.sum(out))
+
+    ITERS = 3
+
+    @jax.jit
+    def chained(params, x0):
+        def body(x, _):
+            o = run_all(params, x)
+            return o[..., : x0.shape[-1]] * 1e-3 + x0, None
+
+        x, _ = jax.lax.scan(body, x0, None, length=ITERS)
+        return x
+
+    chained(params, x_st).block_until_ready()
+    t0 = time.perf_counter()
+    checksum = float(jnp.sum(chained(params, x_st)))
+    t_infer = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(checksum)
+
+    from fast_eng_super_resolution_tpu.data.reconstruct import (
+        make_overlap_average_device)
+
+    t0 = time.perf_counter()
+    # block-diagonal group layout: [n_chunks, per*n, C] -> padded node rows
+    # align with batch.global_ids / node_mask reshaped the same way
+    preds_flat = out.reshape(-1, out.shape[-1])
+    gids = jnp.maximum(batch.global_ids.reshape(-1), 0).astype(jnp.int32)
+    weights = batch.node_mask.reshape(-1).astype(jnp.float32)
+    recon = np.asarray(make_overlap_average_device(len(mesh.points))(
+        preds_flat, gids, weights))
+    t_recon = time.perf_counter() - t0
+
+    total_nodes = len(mesh.points)
+    print(f"inference (fused): {t_infer:.2f}s  "
+          f"({total_nodes / t_infer:,.0f} nodes/s)")
     print(f"reconstruction: {t_recon:.2f}s")
     print(f"end-to-end (part+infer+recon): "
           f"{total_nodes / (t_part + t_infer + t_recon):,.0f} nodes/s")
