@@ -70,11 +70,11 @@ def main():
     raw = [dict(x=g.x, y=g.y, pos=g.pos, senders=g.senders, receivers=g.receivers,
                 edge_attr=g.edge_attr, global_ids=g.global_node_ids) for g in subs]
     t0 = time.perf_counter()
-    (_, order, batch), = pad_and_bucket(raw)
-    # chunk prep HOST-SIDE: slicing device-resident leaves would issue ~2
-    # eager tunnel dispatches per chunk per leaf (~0.5 s each, CLAUDE.md);
-    # one device_get + numpy slicing + one stacked upload instead
-    batch = jax.tree_util.tree_map(np.asarray, jax.device_get(batch))
+    # HOST-SIDE end-to-end: to_device=True here cost an upload of the full
+    # padded batch followed by an immediate device_get (59.6 s of the 250k
+    # run's 'pad/bucket' stage was that round trip); numpy leaves also keep
+    # chunk slicing and fused prep off the tunnel entirely
+    (_, order, batch), = pad_and_bucket(raw, to_device=False)
     from fast_eng_super_resolution_tpu.parallel.mesh import pad_batch_to_multiple
 
     # mask-zeroed tail padding so the chunk count divides evenly (dropped

@@ -166,10 +166,18 @@ def merge_batch(batch: GraphBatch) -> tuple[Graph, jnp.ndarray]:
     per-graph path on v5e (one big scatter beats B batched scatters), and
     bit-identical.  ``graph_ids`` ([B*N]) lets callers recover per-graph
     reductions with one more segment op.
+
+    Backend-polymorphic: with a HOST (numpy) batch every op stays numpy —
+    no device involvement.  On axon the old always-jnp form cost ~7 eager
+    tunnel dispatches per call (arange/add/repeat at ~0.5 s each) and turned
+    senders/receivers into device arrays that host-side fused prep then had
+    to fetch straight back (the round-3 large-mesh cold-prep bottleneck).
+    Traced/device batches keep the jnp path unchanged.
     """
+    xp = np if isinstance(batch.senders, np.ndarray) else jnp
     b, n = batch.x.shape[0], batch.x.shape[1]
     e = batch.senders.shape[1]
-    off = (jnp.arange(b, dtype=batch.senders.dtype) * n)[:, None]
+    off = (xp.arange(b, dtype=batch.senders.dtype) * n)[:, None]
     merged = Graph(
         x=batch.x.reshape(b * n, -1),
         y=batch.y.reshape(b * n, -1),
@@ -181,7 +189,7 @@ def merge_batch(batch: GraphBatch) -> tuple[Graph, jnp.ndarray]:
         edge_mask=batch.edge_mask.reshape(-1),
         global_ids=batch.global_ids.reshape(-1),
     )
-    graph_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    graph_ids = xp.repeat(xp.arange(b, dtype=xp.int32), n)
     return merged, graph_ids
 
 

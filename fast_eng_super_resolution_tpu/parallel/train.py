@@ -20,6 +20,8 @@ ReduceLROnPlateau(factor=0.5, patience=5) (:140).
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from functools import partial
 from typing import Callable
 
@@ -170,29 +172,38 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
     # (pad_batch_to_multiple concatenates on device), and per-leaf
     # np.asarray inside the loop would re-fetch every full array n_dev
     # times (~35 ms per fetch over the relay tunnel, CLAUDE.md)
+    timing = os.environ.get("FESR_TIMING") == "1"
+    marks: list[tuple[str, float]] = [("start", time.perf_counter())]
+
     batch = jax.device_get(batch)
+    marks.append(("device_get", time.perf_counter()))
     groups = []
     for d in range(n_dev):
         sl = slice(d * per, (d + 1) * per)
         chunk = jax.tree_util.tree_map(lambda a: np.asarray(a)[sl], batch)
+        # merge_batch is backend-polymorphic: the host (numpy) chunk stays
+        # numpy end-to-end, so the scatter-block build below never touches
+        # the device (no eager dispatches, no refetches)
         merged, _ = merge_batch(chunk)
         groups.append(merged)
+    marks.append(("merge", time.perf_counter()))
 
-    def build(quantum):
-        out = []
-        for merged in groups:
-            ea, aux, s, rb, bk = model.prepare_fused_train(
-                np.asarray(merged.senders), np.asarray(merged.receivers),
-                np.asarray(merged.edge_attr), merged.x.shape[0],
-                np.asarray(merged.edge_mask), rows_blk=rows_blk,
-                quantum=quantum)
-            out.append((merged, ea, aux, s, rb, bk))
-        return out
+    def build_one(merged, quantum):
+        ea, aux, s, rb, bk = model.prepare_fused_train(
+            np.asarray(merged.senders), np.asarray(merged.receivers),
+            np.asarray(merged.edge_attr), merged.x.shape[0],
+            np.asarray(merged.edge_mask), rows_blk=rows_blk,
+            quantum=quantum)
+        return (merged, ea, aux, s, rb, bk)
 
-    built = build(quantum)
+    built = [build_one(g, quantum) for g in groups]
     blk_common = max(bk for *_, bk in built)
-    if any(bk != blk_common for *_, bk in built):
-        built = build(blk_common)
+    # unify block geometry so ONE compiled kernel serves every device;
+    # rebuild only the groups whose blk differs (S is the big allocation —
+    # rows*blk*4 B per group — rebuilding all of them doubled prep cost)
+    built = [b if b[-1] == blk_common else build_one(b[0], blk_common)
+             for b in built]
+    marks.append(("scatter_build", time.perf_counter()))
 
     def stack(leaves):
         return jnp.asarray(np.stack([np.asarray(l) for l in leaves]))
@@ -205,6 +216,11 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
                 for k in built[0][2]},
         "s": stack([s for _, _, _, s, *_ in built]),
     }
+    marks.append(("stack_upload", time.perf_counter()))
+    if timing:
+        stages = ", ".join(f"{name}={t1 - t0:.2f}s" for (name, t1), (_, t0)
+                           in zip(marks[1:], marks[:-1]))
+        print(f"[fesr-timing] make_fused_shard_batches: {stages}", flush=True)
     return {"graph": graphs, "fused": fused}, rows_blk, blk_common
 
 

@@ -49,6 +49,36 @@ def test_merge_batch_block_diagonal(rng):
     assert int(merged.node_mask.sum()) == int(batch.node_mask.sum())
 
 
+def test_merge_batch_host_stays_numpy(rng):
+    """A host (numpy) batch merges with ZERO device involvement — on the
+    axon relay every eager jnp op in the old path cost a ~0.5 s tunnel
+    dispatch, and fused prep then fetched the device results straight back
+    (the round-3 1M-node cold-prep bottleneck)."""
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.core.graph import (merge_batch,
+                                                          pad_and_bucket,
+                                                          stack_graphs)
+
+    gs = [make_random_graph(rng, n=30, e=100) for _ in range(3)]
+    raw = [dict(x=g["x"], y=g["y"], pos=g["pos"], senders=g["senders"],
+                receivers=g["receivers"], edge_attr=g["edge_attr"]) for g in gs]
+    (_, _, host_batch), = pad_and_bucket(raw, to_device=False)
+    merged, graph_ids = merge_batch(host_batch)
+    for leaf in (merged.x, merged.senders, merged.receivers, merged.edge_attr,
+                 merged.node_mask, merged.edge_mask, merged.global_ids,
+                 graph_ids):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    # bit-identical to the device (jnp) path
+    (_, _, dev_batch), = pad_and_bucket(raw, to_device=True)
+    merged_d, graph_ids_d = merge_batch(dev_batch)
+    np.testing.assert_array_equal(merged.senders, np.asarray(merged_d.senders))
+    np.testing.assert_array_equal(merged.receivers,
+                                  np.asarray(merged_d.receivers))
+    np.testing.assert_array_equal(merged.x, np.asarray(merged_d.x))
+    np.testing.assert_array_equal(graph_ids, np.asarray(graph_ids_d))
+
+
 def test_resolve_mode():
     from fast_eng_super_resolution_tpu.ops.message_passing import resolve_mode
 
