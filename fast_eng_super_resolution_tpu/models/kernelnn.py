@@ -238,17 +238,19 @@ class KernelNN:
     @staticmethod
     def prepare_fused_train(senders, receivers, edge_attr, n_nodes,
                             edge_mask=None, rows_blk: int = 64,
-                            quantum: int = 256):
+                            quantum: int = 256, compact: bool = False):
         """Host-side operands for ``apply_fused_ad``:
         (edge_attr_blocked, fused_aux, s_matrix, rows_blk, blk)."""
         from ..ops.fused_conv import prepare_fused_train
 
         return prepare_fused_train(senders, receivers, edge_attr, n_nodes,
-                                   edge_mask, rows_blk, quantum)
+                                   edge_mask, rows_blk, quantum,
+                                   compact=compact)
 
     @staticmethod
     def prepare_fused(senders, receivers, edge_attr, n_nodes,
-                      edge_mask=None, rows_blk: int = 64, quantum: int = 256):
+                      edge_mask=None, rows_blk: int = 64,
+                      quantum: int = 256, compact: bool = False):
         """Host-side (numpy) fused-path operands for a static graph.
 
         Returns (edge_attr_blocked, senders_perm, s_matrix, rows_blk, blk).
@@ -256,7 +258,7 @@ class KernelNN:
         from ..ops.fused_conv import prepare_fused
 
         return prepare_fused(senders, receivers, edge_attr, n_nodes,
-                             edge_mask, rows_blk, quantum)
+                             edge_mask, rows_blk, quantum, compact=compact)
 
     def import_pth(self, state_dict) -> dict:
         """Params from a reference checkpoint (torch state_dict / numpy dict).

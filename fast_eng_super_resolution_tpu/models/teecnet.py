@@ -193,20 +193,22 @@ class TEECNet:
 
     @staticmethod
     def prepare_fused(senders, receivers, edge_attr, n_nodes,
-                      edge_mask=None, rows_blk: int = 64, quantum: int = 256):
+                      edge_mask=None, rows_blk: int = 64,
+                      quantum: int = 256, compact: bool = False):
         from ..ops.fused_conv import prepare_fused
 
         return prepare_fused(senders, receivers, edge_attr, n_nodes,
-                             edge_mask, rows_blk, quantum)
+                             edge_mask, rows_blk, quantum, compact=compact)
 
     @staticmethod
     def prepare_fused_train(senders, receivers, edge_attr, n_nodes,
                             edge_mask=None, rows_blk: int = 64,
-                            quantum: int = 256):
+                            quantum: int = 256, compact: bool = False):
         from ..ops.fused_conv import prepare_fused_train
 
         return prepare_fused_train(senders, receivers, edge_attr, n_nodes,
-                                   edge_mask, rows_blk, quantum)
+                                   edge_mask, rows_blk, quantum,
+                                   compact=compact)
 
     def import_pth(self, state_dict) -> dict:
         """Params from a reference checkpoint.

@@ -56,14 +56,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 @dataclasses.dataclass(frozen=True)
+class CompactS:
+    """Generator data for the dense S scatter blocks — 1/64th their bytes.
+
+    S[b, r, c] = (slot_rows[b*blk+c] == r) * row_weight[b*rows_blk+r]; padding
+    slots carry -1 and never match.  ``to_device_s`` expands it on device
+    with one jitted compare-multiply — at 1M nodes this replaces a ~5 GB
+    host allocation (page faults at ~43 MB/s on this 1-CPU box) plus its
+    tunnel upload (~105 MB/s measured) with a ~20 MB index upload."""
+
+    slot_rows: np.ndarray       # [num_blocks*blk] int32 row-in-block, -1 pad
+    row_weight: np.ndarray      # [num_blocks*rows_blk] f32, 1/deg or 1
+
+
+@dataclasses.dataclass(frozen=True)
 class ScatterBlocks:
     """Host-precomputed, graph-static block structure (hashable aux: shapes
     only; arrays are numpy and passed as jit operands)."""
 
     edge_perm: np.ndarray       # [num_blocks*blk] int32 into original edges
-    s_matrix: np.ndarray        # [num_blocks*rows_blk, blk] f32, 1/deg or 1
+    s_matrix: np.ndarray | None  # [num_blocks*rows_blk, blk] f32 (dense=True)
     senders_perm: np.ndarray    # [num_blocks*blk] int32 into nodes
     slot_mask: np.ndarray       # [num_blocks*blk] bool, False on padding
+    compact_s: CompactS         # always built (tiny); see to_device_s
     rows_blk: int
     blk: int
     num_blocks: int
@@ -94,7 +109,8 @@ def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
                          n_nodes: int, edge_mask: np.ndarray | None = None,
                          rows_blk: int = 64, quantum: int = 256,
                          aggr: str = "mean",
-                         max_s_bytes: int = 2 << 30) -> ScatterBlocks:
+                         max_s_bytes: int = 2 << 30,
+                         dense: bool = True) -> ScatterBlocks:
     """Groups receiver-sorted edges into fixed-size row-block buckets.
 
     receivers MUST be ascending over real edges (pad_graph emits them so;
@@ -139,7 +155,10 @@ def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
     edge_perm = np.zeros(num_blocks * blk, np.int32)
     senders_perm = np.zeros(num_blocks * blk, np.int32)
     slot_mask = np.zeros(num_blocks * blk, bool)
-    s = np.zeros((num_blocks * rows_blk, blk), np.float32)
+    slot_rows = np.full(num_blocks * blk, -1, np.int32)
+    row_weight = np.zeros(num_blocks * rows_blk, np.float32)
+    row_weight[:n_nodes] = weight[:n_nodes]
+    s = np.zeros((num_blocks * rows_blk, blk), np.float32) if dense else None
     if e_real:
         block_of = (receivers // rows_blk).astype(np.int64)
         col = np.arange(e_real) - bounds[block_of]
@@ -147,11 +166,57 @@ def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
         edge_perm[slot] = real_idx
         senders_perm[slot] = senders
         slot_mask[slot] = True
-        s[receivers, col] = weight[receivers]
+        slot_rows[slot] = receivers % rows_blk
+        if dense:
+            s[receivers, col] = weight[receivers]
     return ScatterBlocks(edge_perm=edge_perm, s_matrix=s,
                          senders_perm=senders_perm, slot_mask=slot_mask,
+                         compact_s=CompactS(slot_rows, row_weight),
                          rows_blk=rows_blk, blk=blk, num_blocks=num_blocks,
                          n_nodes=int(n_nodes))
+
+
+@functools.partial(jax.jit, static_argnames=("rows_blk", "blk"))
+def _s_device_jit(slot_rows: jnp.ndarray, row_weight: jnp.ndarray, *,
+                  rows_blk: int, blk: int) -> jnp.ndarray:
+    nb = slot_rows.shape[0] // blk
+    rib = slot_rows.reshape(nb, 1, blk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, rows_blk, 1), 1)
+    w = row_weight.reshape(nb, rows_blk, 1)
+    return jnp.where(rib == rows, w, 0.0).reshape(nb * rows_blk, blk)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_blk", "blk", "n_dev"))
+def _s_device_stacked_jit(slot_rows: jnp.ndarray, row_weight: jnp.ndarray, *,
+                          rows_blk: int, blk: int, n_dev: int) -> jnp.ndarray:
+    s = _s_device_jit(slot_rows, row_weight, rows_blk=rows_blk, blk=blk)
+    return s.reshape(n_dev, -1, blk)
+
+
+def to_device_s_stacked(s: CompactS, rows_blk: int, blk: int,
+                        n_dev: int) -> jnp.ndarray:
+    """[n_dev, nb*rows_blk, blk] dense S from flat-concatenated generators of
+    n_dev same-geometry groups — ONE dispatch (build + reshape in one jit;
+    an eager reshape after ``to_device_s`` would cost a second ~0.5 s tunnel
+    round trip on the relay)."""
+    return _s_device_stacked_jit(jnp.asarray(s.slot_rows),
+                                 jnp.asarray(s.row_weight),
+                                 rows_blk=rows_blk, blk=blk, n_dev=n_dev)
+
+
+def to_device_s(s, rows_blk: int, blk: int) -> jnp.ndarray:
+    """Device-resident dense S from either form.
+
+    A ``CompactS`` expands ON DEVICE (one compare-multiply over the final
+    S footprint — HBM-bandwidth trivial); a dense host array just uploads.
+    Parity is exact: both paths place weight[r] at the same (row, col).
+    Works on concatenated block stacks too (e.g. n_dev groups whose blocks
+    were unified to one blk): the expansion is blockwise."""
+    if isinstance(s, CompactS):
+        return _s_device_jit(jnp.asarray(s.slot_rows),
+                             jnp.asarray(s.row_weight),
+                             rows_blk=rows_blk, blk=blk)
+    return jnp.asarray(s)
 
 
 def _fold_groups(prod: jnp.ndarray, groups: int, c_out: int) -> jnp.ndarray:
@@ -883,26 +948,32 @@ fused_edge_conv_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 
 
 def prepare_fused(senders, receivers, edge_attr, n_nodes, edge_mask=None,
-                  rows_blk: int = 64, quantum: int = 256):
+                  rows_blk: int = 64, quantum: int = 256,
+                  compact: bool = False):
     """Host-side (numpy) fused-path operands for a static graph — shared by
     every edge-conditioned model family (KernelNN, TEECNet).
 
-    Returns (edge_attr_blocked, senders_perm, s_matrix, rows_blk, blk).
+    Returns (edge_attr_blocked, senders_perm, s, rows_blk, blk) where s is
+    the dense host S matrix, or (compact=True) a ``CompactS`` to expand on
+    device with ``to_device_s`` — skips the N*blk*4-byte host allocation.
     """
     blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
-                                  rows_blk=rows_blk, quantum=quantum)
+                                  rows_blk=rows_blk, quantum=quantum,
+                                  dense=not compact)
     ea = np.asarray(edge_attr)[blocks.edge_perm]
-    return (ea, blocks.senders_perm, blocks.s_matrix, blocks.rows_blk,
-            blocks.blk)
+    s = blocks.compact_s if compact else blocks.s_matrix
+    return (ea, blocks.senders_perm, s, blocks.rows_blk, blocks.blk)
 
 
 def prepare_fused_train(senders, receivers, edge_attr, n_nodes,
                         edge_mask=None, rows_blk: int = 64,
-                        quantum: int = 256):
+                        quantum: int = 256, compact: bool = False):
     """Host-side operands for the differentiable fused path:
-    (edge_attr_blocked, fused_aux, s_matrix, rows_blk, blk)."""
+    (edge_attr_blocked, fused_aux, s, rows_blk, blk); s as in
+    ``prepare_fused``."""
     blocks = build_scatter_blocks(receivers, senders, n_nodes, edge_mask,
-                                  rows_blk=rows_blk, quantum=quantum)
+                                  rows_blk=rows_blk, quantum=quantum,
+                                  dense=not compact)
     ea = np.asarray(edge_attr)[blocks.edge_perm]
-    return (ea, blocks.train_aux(), blocks.s_matrix, blocks.rows_blk,
-            blocks.blk)
+    s = blocks.compact_s if compact else blocks.s_matrix
+    return (ea, blocks.train_aux(), s, blocks.rows_blk, blocks.blk)

@@ -141,14 +141,22 @@ def merged_fused_loss(model, params, batch: dict, rows_blk: int, blk: int,
 
 def make_fused_batch(merged: GraphBatch, model, rows_blk: int = 64,
                      quantum: int = 256):
-    """(batch dict for layout='fused', rows_blk, blk) from a merged graph."""
+    """(batch dict for layout='fused', rows_blk, blk) from a merged graph.
+
+    S expands on DEVICE from compact generators (ops.fused_conv.to_device_s):
+    the dense host build + upload cost ~75 s/GB on this box (page-faulting
+    allocator + ~105 MB/s tunnel); the compact form uploads 1/64th the bytes.
+    """
+    from ..ops.fused_conv import to_device_s
+
     ea, aux, s, rows_blk, blk = model.prepare_fused_train(
         np.asarray(merged.senders), np.asarray(merged.receivers),
         np.asarray(merged.edge_attr), merged.x.shape[0],
-        np.asarray(merged.edge_mask), rows_blk=rows_blk, quantum=quantum)
+        np.asarray(merged.edge_mask), rows_blk=rows_blk, quantum=quantum,
+        compact=True)
     fused = {"edge_attr": jnp.asarray(ea),
              "aux": {k: jnp.asarray(v) for k, v in aux.items()},
-             "s": jnp.asarray(s)}
+             "s": to_device_s(s, rows_blk, blk)}
     return {"graph": merged, "fused": fused}, rows_blk, blk
 
 
@@ -193,14 +201,13 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
             np.asarray(merged.senders), np.asarray(merged.receivers),
             np.asarray(merged.edge_attr), merged.x.shape[0],
             np.asarray(merged.edge_mask), rows_blk=rows_blk,
-            quantum=quantum)
+            quantum=quantum, compact=True)
         return (merged, ea, aux, s, rb, bk)
 
     built = [build_one(g, quantum) for g in groups]
     blk_common = max(bk for *_, bk in built)
     # unify block geometry so ONE compiled kernel serves every device;
-    # rebuild only the groups whose blk differs (S is the big allocation —
-    # rows*blk*4 B per group — rebuilding all of them doubled prep cost)
+    # rebuild only the groups whose blk differs
     built = [b if b[-1] == blk_common else build_one(b[0], blk_common)
              for b in built]
     marks.append(("scatter_build", time.perf_counter()))
@@ -210,11 +217,22 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
 
     graphs = jax.tree_util.tree_map(lambda *xs: stack(xs),
                                     *[g for g, *_ in built])
+    # S expands ON DEVICE from the stacked compact generators: the dense
+    # per-group S matrices dominated cold prep (at 250k nodes: ~29 s host
+    # np.stack of 1.2 GB at this box's ~43 MB/s fresh-page memcpy + ~12 s
+    # upload at 105 MB/s); the generators are 1/64th the bytes and the
+    # expansion is blockwise, so one flat build covers all n_dev groups
+    from ..ops.fused_conv import CompactS, to_device_s_stacked
+
+    sr = np.stack([s.slot_rows for _, _, _, s, *_ in built])
+    rw = np.stack([s.row_weight for _, _, _, s, *_ in built])
+    s_dev = to_device_s_stacked(CompactS(sr.reshape(-1), rw.reshape(-1)),
+                                rows_blk, blk_common, n_dev)
     fused = {
         "edge_attr": stack([ea for _, ea, *_ in built]),
         "aux": {k: stack([aux[k] for _, _, aux, *_ in built])
                 for k in built[0][2]},
-        "s": stack([s for _, _, _, s, *_ in built]),
+        "s": s_dev,
     }
     marks.append(("stack_upload", time.perf_counter()))
     if timing:

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..core.graph import BucketSpec, pad_and_bucket
+from ..ops.fused_conv import to_device_s
 from ..ops.loss import compute_node_weight
 from ..parallel.dispatch import make_routed_apply, stack_params
 from ..parallel.mesh import make_mesh, pad_batch_to_multiple, replicate, shard_batch
@@ -606,11 +607,14 @@ class PartitionScheduler:
             gids = np.asarray(merged.global_ids)
             nm = np.asarray(merged.node_mask)
             ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
-                send, recv, ea, merged.x.shape[0], em)
+                send, recv, ea, merged.x.shape[0], em, compact=True)
             # padding / out-of-mesh rows scatter to a dump segment
             gid_dump = np.where(nm & (gids >= 0), gids,
                                 np.int64(num_nodes)).astype(np.int32)
-            ops = (jnp.asarray(ea_b), jnp.asarray(sp), jnp.asarray(sm),
+            # S expands on device from compact generators — 1/64th the
+            # upload bytes and no dense host allocation (ops.fused_conv)
+            ops = (jnp.asarray(ea_b), jnp.asarray(sp),
+                   to_device_s(sm, rows_blk, blk),
                    jnp.asarray(gid_dump), jnp.asarray(nm.astype(np.float32)),
                    rows_blk, blk)
             entry = self._cache_put(key, ops,
@@ -969,9 +973,9 @@ class PartitionScheduler:
                     ea = np.asarray(merged.edge_attr)
                     em = np.asarray(merged.edge_mask)
                     ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
-                        send, recv, ea, merged.x.shape[0], em)
+                        send, recv, ea, merged.x.shape[0], em, compact=True)
                     ops = (jnp.asarray(ea_b), jnp.asarray(sp),
-                           jnp.asarray(sm), rows_blk, blk)
+                           to_device_s(sm, rows_blk, blk), rows_blk, blk)
                     entry = self._cache_put(
                         key, ops, sum(int(a.size) * 4 for a in ops[:3]))
                 ea_b_j, sp_j, sm_j, rows_blk, blk = entry[0]

@@ -362,3 +362,48 @@ def test_lowrank_fused_ad_matches_xla_autograd():
                           jax.tree_util.tree_leaves(gb)):
             denom = max(float(jnp.linalg.norm(ta)), 1e-12)
             assert float(jnp.linalg.norm(ta - tb)) / denom < 1e-4, rank
+
+
+def test_compact_s_device_parity():
+    """Device-built S (compact generators -> jitted compare-multiply) is
+    bit-identical to the dense host build, incl. padding slots (-1 rows),
+    multi-block graphs, sum aggregation, and the stacked n_dev variant."""
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.ops.fused_conv import (
+        CompactS, build_scatter_blocks, to_device_s, to_device_s_stacked)
+
+    rng = np.random.default_rng(3)
+    for n, e, aggr in ((90, 400, "mean"), (90, 400, "sum"), (17, 5, "mean")):
+        recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+        send = rng.integers(0, n, e).astype(np.int32)
+        mask = rng.random(e) > 0.15
+        dense = build_scatter_blocks(recv, send, n, mask, rows_blk=16,
+                                     quantum=32, aggr=aggr)
+        comp = build_scatter_blocks(recv, send, n, mask, rows_blk=16,
+                                    quantum=32, aggr=aggr, dense=False)
+        assert comp.s_matrix is None
+        s_dev = to_device_s(comp.compact_s, comp.rows_blk, comp.blk)
+        np.testing.assert_array_equal(np.asarray(s_dev), dense.s_matrix)
+        # dense host arrays pass through to_device_s unchanged
+        np.testing.assert_array_equal(
+            np.asarray(to_device_s(dense.s_matrix, dense.rows_blk,
+                                   dense.blk)), dense.s_matrix)
+        # every other block field is identical across the two modes
+        np.testing.assert_array_equal(dense.edge_perm, comp.edge_perm)
+        np.testing.assert_array_equal(dense.senders_perm, comp.senders_perm)
+        np.testing.assert_array_equal(dense.slot_mask, comp.slot_mask)
+
+    # stacked variant: two same-geometry groups expand blockwise in one jit
+    recv = np.sort(rng.integers(0, 64, 300)).astype(np.int32)
+    send = rng.integers(0, 64, 300).astype(np.int32)
+    b1 = build_scatter_blocks(recv, send, 64, None, rows_blk=16, quantum=128)
+    b2 = build_scatter_blocks(recv[::-1].copy(), send, 64, None, rows_blk=16,
+                              quantum=128)
+    assert b1.blk == b2.blk
+    flat = CompactS(
+        np.concatenate([b1.compact_s.slot_rows, b2.compact_s.slot_rows]),
+        np.concatenate([b1.compact_s.row_weight, b2.compact_s.row_weight]))
+    st = np.asarray(to_device_s_stacked(flat, 16, b1.blk, 2))
+    np.testing.assert_array_equal(st[0], b1.s_matrix)
+    np.testing.assert_array_equal(st[1], b2.s_matrix)
