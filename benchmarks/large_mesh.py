@@ -179,7 +179,8 @@ def run_fused(args, mesh, batch, n_chunks: int, t_part: float):
 
     t0 = time.perf_counter()
     host_batch = jax.tree_util.tree_map(np.asarray, batch)
-    batchd, rb, bk = make_fused_shard_batches(host_batch, model, n_chunks)
+    batchd, rb, bk = make_fused_shard_batches(host_batch, model, n_chunks,
+                                              with_graph=False)
     b, n = batch.x.shape[0], batch.x.shape[1]
     per = b // n_chunks
     x_st = jnp.asarray(host_batch.x.reshape(n_chunks, per * n, -1))

@@ -161,7 +161,8 @@ def make_fused_batch(merged: GraphBatch, model, rows_blk: int = 64,
 
 
 def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
-                             rows_blk: int = 64, quantum: int = 256):
+                             rows_blk: int = 64, quantum: int = 256,
+                             with_graph: bool = True):
     """Host prep for the multi-chip fused step: splits a [B, ...] batch into
     ``n_dev`` per-device groups, merges each group block-diagonally, builds
     that group's scatter blocks, unifies the block geometry (one compiled
@@ -170,6 +171,11 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
 
     Returns (stacked_batch_dict, rows_blk, blk) where the dict leaves are
     [n_dev, ...] arrays ({'graph': merged GraphBatch, 'fused': {...}}).
+
+    ``with_graph=False`` skips the merged-graph stack entirely — inference
+    callers (multi-chip fused predict, the large-mesh bench lane) consume
+    only the fused operands, and the raw senders/receivers/edge_attr/y
+    leaves are most of the remaining prep upload; 'graph' is None then.
     """
     from ..core.graph import merge_batch
 
@@ -216,7 +222,8 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
         return jnp.asarray(np.stack([np.asarray(l) for l in leaves]))
 
     graphs = jax.tree_util.tree_map(lambda *xs: stack(xs),
-                                    *[g for g, *_ in built])
+                                    *[g for g, *_ in built]) \
+        if with_graph else None
     # S expands ON DEVICE from the stacked compact generators: the dense
     # per-group S matrices dominated cold prep (at 250k nodes: ~29 s host
     # np.stack of 1.2 GB at this box's ~43 MB/s fresh-page memcpy + ~12 s

@@ -915,7 +915,8 @@ class PartitionScheduler:
                 if entry is None:
                     host_chunk = jax.tree_util.tree_map(np.asarray, chunk)
                     batchd, rb, bk = make_fused_shard_batches(
-                        host_chunk, infer_model, n_mesh_dev)
+                        host_chunk, infer_model, n_mesh_dev,
+                        with_graph=False)
                     shd = NamedSharding(self.mesh, P("data"))
                     ops = {
                         "edge_attr": jax.device_put(
