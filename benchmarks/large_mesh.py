@@ -170,6 +170,7 @@ def run_fused(args, mesh, batch, n_chunks: int, t_part: float):
     import jax.numpy as jnp
 
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.ops.fused_conv import expand_s
     from fast_eng_super_resolution_tpu.parallel.train import (
         make_fused_shard_batches)
 
@@ -179,48 +180,55 @@ def run_fused(args, mesh, batch, n_chunks: int, t_part: float):
 
     t0 = time.perf_counter()
     host_batch = jax.tree_util.tree_map(np.asarray, batch)
+    # expand_s=False: S rides as compact generators and expands PER CHUNK
+    # inside the program — resident HBM holds one chunk's S transient, not
+    # the whole mesh's (stacked dense S at 1M nodes is 5.2 GB and OOMs the
+    # 16 GB chip well before 4M)
     batchd, rb, bk = make_fused_shard_batches(host_batch, model, n_chunks,
-                                              with_graph=False)
+                                              with_graph=False,
+                                              expand_s=False)
     b, n = batch.x.shape[0], batch.x.shape[1]
     per = b // n_chunks
     x_st = jnp.asarray(host_batch.x.reshape(n_chunks, per * n, -1))
     ea = jnp.asarray(batchd["fused"]["edge_attr"])
     sp = jnp.asarray(batchd["fused"]["aux"]["senders_perm"])
-    sm = jnp.asarray(batchd["fused"]["s"])
+    sr = batchd["fused"]["s_compact"]["slot_rows"]
+    rw = batchd["fused"]["s_compact"]["row_weight"]
     t_prep = time.perf_counter() - t0
     print(f"fused prep: rows_blk={rb} blk={bk} ({t_prep:.1f}s)")
 
     interp = jax.default_backend() not in ("tpu", "axon")
 
-    # ea/sp/sm are jit ARGS, not closures: closed-over device arrays embed
+    # operands are jit ARGS, not closures: closed-over device arrays embed
     # as HLO constants and blow the remote-compile request limit (HTTP 413,
     # CLAUDE.md)
     @jax.jit
-    def run_all(params, x_st, ea, sp, sm):
+    def run_all(params, x_st, ea, sp, sr, rw):
         def one(operands):
-            xm, ea_c, sp_c, sm_c = operands
+            xm, ea_c, sp_c, sr_c, rw_c = operands
+            sm_c = expand_s(sr_c, rw_c, rows_blk=rb, blk=bk)
             return model.apply_fused(params, xm, ea_c, sp_c, sm_c,
                                      rows_blk=rb, blk=bk, interpret=interp)
 
-        return jax.lax.map(one, (x_st, ea, sp, sm))
+        return jax.lax.map(one, (x_st, ea, sp, sr, rw))
 
-    out = run_all(params, x_st, ea, sp, sm)
+    out = run_all(params, x_st, ea, sp, sr, rw)
     float(jnp.sum(out))
 
     ITERS = 3
 
     @jax.jit
-    def chained(params, x0, ea, sp, sm):
+    def chained(params, x0, ea, sp, sr, rw):
         def body(x, _):
-            o = run_all(params, x, ea, sp, sm)
+            o = run_all(params, x, ea, sp, sr, rw)
             return o[..., : x0.shape[-1]] * 1e-3 + x0, None
 
         x, _ = jax.lax.scan(body, x0, None, length=ITERS)
         return x
 
-    chained(params, x_st, ea, sp, sm).block_until_ready()
+    chained(params, x_st, ea, sp, sr, rw).block_until_ready()
     t0 = time.perf_counter()
-    checksum = float(jnp.sum(chained(params, x_st, ea, sp, sm)))
+    checksum = float(jnp.sum(chained(params, x_st, ea, sp, sr, rw)))
     t_infer = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(checksum)
 

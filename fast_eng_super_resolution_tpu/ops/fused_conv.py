@@ -176,14 +176,22 @@ def build_scatter_blocks(receivers: np.ndarray, senders: np.ndarray,
                          n_nodes=int(n_nodes))
 
 
-@functools.partial(jax.jit, static_argnames=("rows_blk", "blk"))
-def _s_device_jit(slot_rows: jnp.ndarray, row_weight: jnp.ndarray, *,
-                  rows_blk: int, blk: int) -> jnp.ndarray:
+def expand_s(slot_rows: jnp.ndarray, row_weight: jnp.ndarray, *,
+             rows_blk: int, blk: int) -> jnp.ndarray:
+    """Traceable dense-S expansion (jnp, safe INSIDE jit) — one blockwise
+    compare-multiply.  Callers that keep S resident use ``to_device_s``;
+    callers that stream many chunks expand per chunk inside their program
+    so only the [nb*rows_blk, blk] transient of the CURRENT chunk exists
+    (at 1M nodes the resident stacked S was 5.2 GB of HBM; the compact
+    operands are 64 MB)."""
     nb = slot_rows.shape[0] // blk
     rib = slot_rows.reshape(nb, 1, blk)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, rows_blk, 1), 1)
     w = row_weight.reshape(nb, rows_blk, 1)
     return jnp.where(rib == rows, w, 0.0).reshape(nb * rows_blk, blk)
+
+
+_s_device_jit = jax.jit(expand_s, static_argnames=("rows_blk", "blk"))
 
 
 @functools.partial(jax.jit, static_argnames=("rows_blk", "blk", "n_dev"))

@@ -162,7 +162,8 @@ def make_fused_batch(merged: GraphBatch, model, rows_blk: int = 64,
 
 def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
                              rows_blk: int = 64, quantum: int = 256,
-                             with_graph: bool = True):
+                             with_graph: bool = True,
+                             expand_s: bool = True):
     """Host prep for the multi-chip fused step: splits a [B, ...] batch into
     ``n_dev`` per-device groups, merges each group block-diagonally, builds
     that group's scatter blocks, unifies the block geometry (one compiled
@@ -176,6 +177,14 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
     callers (multi-chip fused predict, the large-mesh bench lane) consume
     only the fused operands, and the raw senders/receivers/edge_attr/y
     leaves are most of the remaining prep upload; 'graph' is None then.
+
+    ``expand_s=False`` ships S as its compact generators instead of the
+    expanded device matrix: fused['s'] is absent and fused['s_compact'] =
+    {'slot_rows' [n_dev, nb*blk] i32, 'row_weight' [n_dev, nb*rows_blk]}
+    (device arrays, 1/64th S's bytes).  Streaming callers expand per chunk
+    INSIDE their program (ops.fused_conv.expand_s) so resident HBM holds
+    one chunk's S transient, not all of them — required above ~2M nodes
+    (stacked dense S at 1M is already 5.2 GB).
     """
     from ..core.graph import merge_batch
 
@@ -233,14 +242,18 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
 
     sr = np.stack([s.slot_rows for _, _, _, s, *_ in built])
     rw = np.stack([s.row_weight for _, _, _, s, *_ in built])
-    s_dev = to_device_s_stacked(CompactS(sr.reshape(-1), rw.reshape(-1)),
-                                rows_blk, blk_common, n_dev)
     fused = {
         "edge_attr": stack([ea for _, ea, *_ in built]),
         "aux": {k: stack([aux[k] for _, _, aux, *_ in built])
                 for k in built[0][2]},
-        "s": s_dev,
     }
+    if expand_s:
+        fused["s"] = to_device_s_stacked(
+            CompactS(sr.reshape(-1), rw.reshape(-1)), rows_blk, blk_common,
+            n_dev)
+    else:
+        fused["s_compact"] = {"slot_rows": jnp.asarray(sr),
+                              "row_weight": jnp.asarray(rw)}
     marks.append(("stack_upload", time.perf_counter()))
     if timing:
         stages = ", ".join(f"{name}={t1 - t0:.2f}s" for (name, t1), (_, t0)

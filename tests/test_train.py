@@ -322,3 +322,29 @@ def test_grid_trainer_dp_epoch_matches_single_device():
     fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_ref)])
     fb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(p_dp)])
     np.testing.assert_allclose(fb, fa, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_shard_batches_compact_s():
+    """expand_s=False ships S as compact generators; expanding them per
+    group matches the expand_s=True stacked device S exactly, and
+    with_graph=False omits the merged-graph stack."""
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.ops.fused_conv import expand_s
+    from fast_eng_super_resolution_tpu.parallel.train import (
+        make_fused_shard_batches)
+
+    batch = _make_batch(n_graphs=4)
+    model = KernelNN(width=8, ker_width=8, depth=2, in_width=4, out_width=4)
+    dense, rb, bk = make_fused_shard_batches(batch, model, 2, rows_blk=16)
+    comp, rb2, bk2 = make_fused_shard_batches(batch, model, 2, rows_blk=16,
+                                              with_graph=False,
+                                              expand_s=False)
+    assert (rb, bk) == (rb2, bk2)
+    assert comp["graph"] is None and "s" not in comp["fused"]
+    sc = comp["fused"]["s_compact"]
+    for d in range(2):
+        got = np.asarray(expand_s(sc["slot_rows"][d], sc["row_weight"][d],
+                                  rows_blk=rb, blk=bk))
+        np.testing.assert_array_equal(got, np.asarray(dense["fused"]["s"][d]))
+    np.testing.assert_array_equal(np.asarray(comp["fused"]["edge_attr"]),
+                                  np.asarray(dense["fused"]["edge_attr"]))
