@@ -697,3 +697,113 @@ class TurbulenceGridDataset(_CachedGridDataset):
             return spectral_downsample(hi, downsample), hi
 
         super().__init__(root, params, pair)
+
+
+# ---------------------------------------------------------------------------
+# Burgers' equation (1D) — the remaining member of the canonical
+# neural-operator task trio (Burgers / Darcy / Navier-Stokes), cast in this
+# framework's super-resolution structure for FNO1d.
+# ---------------------------------------------------------------------------
+
+
+def _linear_sample_1d(f: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Periodic linear interpolation of ``f`` [m] at fractional grid
+    coordinates — the 1D analog of ``_bilinear_sample``."""
+    m = f.shape[0]
+    x0 = np.floor(xq).astype(np.int64)
+    tx = xq - x0
+    x0 %= m
+    x1 = (x0 + 1) % m
+    return f[x0] * (1 - tx) + f[x1] * tx
+
+
+def _low_mode_ic_1d(n: int, rng: np.random.Generator,
+                    max_mode: int = 3) -> np.ndarray:
+    """Random periodic initial condition exciting only modes |k| <= max_mode
+    — exactly representable on any coarse grid with Nyquist above max_mode,
+    so subsampling the fine IC IS the coarse IC (the learnability
+    precondition; same trick as ``_low_mode_vorticity``)."""
+    u_hat = np.zeros(n, np.complex128)
+    for k in range(1, max_mode + 1):
+        c = rng.normal() + 1j * rng.normal()
+        u_hat[k] = c
+        u_hat[-k] = np.conj(c)  # real field
+    u = np.fft.ifft(u_hat).real
+    return u / (np.abs(u).max() + 1e-12)
+
+
+def simulate_burgers(u0: np.ndarray, t_end: float = 1.0, nu: float = 5e-3,
+                     dt: float = 1e-3) -> np.ndarray:
+    """Pseudo-spectral 1D viscous Burgers on the periodic unit interval:
+    du/dt + u du/dx = nu d2u/dx2, i.e. du/dt = -0.5 d(u^2)/dx + nu u_xx.
+
+    Heun (RK2) on the dealiased (2/3-rule) conservative nonlinear term,
+    exact integrating factor for viscosity — the same ETD-Heun scheme as
+    ``simulate_ns_vorticity`` one axis down.  dt must obey the advective
+    CFL (|u| dt < 1/n); the defaults hold for |u| ~ 1 up to n = 512.
+    Host-side ETL (numpy FFT), like every other generator here.
+    """
+    n = u0.shape[0]
+    k = 2.0 * np.pi * np.fft.fftfreq(n, 1.0 / n)
+    dealias = np.abs(np.fft.fftfreq(n, 1.0 / n)) < n / 3
+
+    def rhs(u_hat):
+        u = np.fft.ifft(u_hat).real
+        return -0.5j * k * np.fft.fft(u * u) * dealias
+
+    u_hat = np.fft.fft(np.asarray(u0, np.float64))
+    visc = np.exp(-nu * k ** 2 * dt)  # exact integrating factor exp(L dt)
+    for _ in range(int(round(t_end / dt))):
+        n1 = rhs(u_hat)
+        u_pred = (u_hat + dt * n1) * visc
+        n2 = rhs(u_pred)
+        u_hat = u_hat * visc + 0.5 * dt * (n1 * visc + n2)
+    return np.fft.ifft(u_hat).real.astype(np.float32)
+
+
+def burgers_pair(n: int, rng: np.random.Generator, factor: int = 4,
+                 t_end: float = 1.0, nu: float = 5e-3, amp: float = 1.0,
+                 dt: float = 1e-3,
+                 max_mode: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """One Burgers super-resolution pair.
+
+    The same low-mode initial condition is evolved on the fine grid and on a
+    ``factor``x coarser grid; at ``nu = 5e-3`` the solution steepens into
+    moving shock fronts whose width the fine grid resolves and the coarse
+    grid smears into Gibbs wiggles — exactly the structure the operator must
+    reconstruct, and (because the IC is coarse-resolvable) a deterministic
+    function of the inputs.  The model maps (linearly upsampled coarse
+    solution, initial condition) -> fine solution, matching darcy_pair /
+    ns_vorticity_pair's two-channel input convention.
+
+    Returns (x [n, 2], y [n, 1]) float32; channel 0 of x is the upsampled
+    coarse solution (the improvement baseline, like every other dataset).
+    """
+    _check_coarse_nyquist(n, factor, max_mode)
+    u0 = _low_mode_ic_1d(n, rng, max_mode=max_mode) * amp
+    fine = simulate_burgers(u0, t_end=t_end, nu=nu, dt=dt)
+    coarse = simulate_burgers(u0[::factor], t_end=t_end, nu=nu, dt=dt)
+    up = _linear_sample_1d(coarse, np.arange(n) / factor)
+    scale = np.abs(fine).max() + 1e-12
+    x = np.stack([up / scale, u0 / scale], axis=-1).astype(np.float32)
+    y = (fine / scale)[..., None].astype(np.float32)
+    return x, y
+
+
+class BurgersDataset(_CachedGridDataset):
+    """1D Burgers super-resolution workload (see burgers_pair) for FNO1d.
+    Samples are {'x': [n, 2], 'y': [n, 1]}; cached under root/processed."""
+
+    _filename = "burgers_data.npz"
+
+    def __init__(self, root: str, num_samples: int = 128,
+                 resolution: int = 256, downsample: int = 4,
+                 t_end: float = 1.0, nu: float = 5e-3, amp: float = 1.0,
+                 dt: float = 1e-3, max_mode: int = 3, seed: int = 0,
+                 **kwargs):
+        params = dict(num_samples=num_samples, resolution=resolution,
+                      downsample=downsample, t_end=t_end, nu=nu, amp=amp,
+                      dt=dt, max_mode=max_mode, seed=seed)
+        super().__init__(root, params, lambda rng: burgers_pair(
+            resolution, rng, factor=downsample, t_end=t_end, nu=nu, amp=amp,
+            dt=dt, max_mode=max_mode))

@@ -521,3 +521,194 @@ class FNO3d:
             x = x[..., :-pad, :-pad, :-pad]
         x = _mlp_block_3d(params["q"], x)
         return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+# ---------------------------------------------------------------------------
+# FNO1d — the 1D member of the operator family (Burgers' canonical task).
+# Beyond-parity: the reference ships only FNO2d (model.py:13-141); this class
+# completes the canonical neural-operator trio (Burgers / Darcy / NS) one
+# axis down, with the same four-block architecture and the same matmul-DFT
+# production path off-CPU (two truncated-DFT matmuls — no FFT primitive).
+# ---------------------------------------------------------------------------
+
+
+def _spectral_init_1d(key, c_in: int, c_out: int, m1: int) -> dict:
+    """1D spectral weights: the rFFT keeps only the first ``m1`` modes (no
+    spectrum-end block — negative frequencies are the conjugate mirror)."""
+    scale = 1.0 / (c_in * c_out)
+    ks = jax.random.split(key, 2)
+    shape = (c_in, c_out, m1)
+    return {"w_re": scale * jax.random.uniform(ks[0], shape),
+            "w_im": scale * jax.random.uniform(ks[1], shape)}
+
+
+def _check_modes_1d(w: int, m1: int) -> None:
+    """Same contract as ``_check_modes_2d``: both impls validate so a
+    too-small grid fails identically on every backend."""
+    if m1 > w // 2 + 1:
+        raise ValueError(
+            f"grid length {w} too small for spectral modes ({m1},); "
+            "pad the domain or reduce modes")
+
+
+def _spectral_conv_1d(p: dict, x: jnp.ndarray, m1: int) -> jnp.ndarray:
+    """rFFT -> truncated complex mode mix -> irFFT.  x: [B, C, W]."""
+    w = x.shape[-1]
+    _check_modes_1d(w, m1)
+    x_ft = jnp.fft.rfft(x)  # [B, C, W//2+1] complex
+    wgt = p["w_re"] + 1j * p["w_im"]
+    mixed = jnp.einsum("bix,iox->box", x_ft[:, :, :m1], wgt)
+    c_out = wgt.shape[1]
+    out_ft = jnp.zeros((x.shape[0], c_out, w // 2 + 1), jnp.complex64)
+    out_ft = out_ft.at[:, :, :m1].set(mixed)
+    return jnp.fft.irfft(out_ft, n=w)
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_mats_1d(w: int, m1: int):
+    """Truncated rDFT / inverse-rDFT matrices matching jnp.fft.rfft/irfft
+    restricted to modes [0:m1] (incl. the doubled-column Re() fold with DC
+    and even-W Nyquist exceptions — same construction as ``_dft_mats``)."""
+    _check_modes_1d(w, m1)
+    ww = np.arange(w)[:, None]
+    kw = np.arange(m1)
+    fw = np.exp(-2j * np.pi * ww * kw[None, :] / w)  # [W, m1] fwd rDFT
+    c = np.full(m1, 2.0)
+    c[0] = 1.0
+    if w % 2 == 0 and m1 - 1 == w // 2:
+        c[-1] = 1.0  # Nyquist column is not mirrored
+    gw = (c[:, None] / w) * np.exp(
+        2j * np.pi * kw[:, None] * np.arange(w)[None, :] / w)  # [m1, W]
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    return {"fw": (f32(fw.real), f32(fw.imag)),
+            "gw": (f32(gw.real), f32(gw.imag))}
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_mats_1d_packed(w: int, m1: int):
+    """Complex-block-packed ``_dft_mats_1d``: ``fw`` (real input) and ``gw``
+    (real output, Re() folded in) carry half blocks — one einsum each."""
+    m = _dft_mats_1d(w, m1)
+    fw = np.ascontiguousarray(np.stack(m["fw"], -1), np.float32)   # [W,m1,2]
+    gw = np.ascontiguousarray(
+        np.stack([m["gw"][0], -m["gw"][1]], 1), np.float32)        # [m1,2,W]
+    return {"fw": fw, "gw": gw}
+
+
+def _spectral_conv1d_matmul(p: dict, x: jnp.ndarray, m1: int) -> jnp.ndarray:
+    """FFT-free 1D spectral conv: two truncated-DFT matmuls + mode mix,
+    bit-equivalent (to f32 tolerance) to ``_spectral_conv_1d`` — pure MXU
+    work, the production path on accelerators (the axon relay's TPU backend
+    has no FFT lowering at all, CLAUDE.md)."""
+    w = x.shape[-1]
+    mats = _dft_mats_1d_packed(w, m1)
+    fw, gw = jnp.asarray(mats["fw"]), jnp.asarray(mats["gw"])
+    wgt = jnp.stack([jnp.stack([p["w_re"], p["w_im"]], -1),
+                     jnp.stack([-p["w_im"], p["w_re"]], -1)], 2)  # [i,o,e,k,f]
+    t = jnp.einsum("bcw,wkf->bckf", x, fw)       # forward rDFT over W
+    y = jnp.einsum("bike,ioekf->bokf", t, wgt)   # per-mode channel mix
+    return jnp.einsum("boke,kew->bow", y, gw)    # real-output inverse rDFT
+
+
+def _conv1x1_1d(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv on [B, C, W] == channel matmul."""
+    return jnp.einsum("bcw,cd->bdw", x, p["w"]) + p["b"][None, :, None]
+
+
+def _mlp_block_1d(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return _conv1x1_1d(p["mlp2"],
+                       jax.nn.gelu(_conv1x1_1d(p["mlp1"], x), approximate=False))
+
+
+@dataclasses.dataclass(frozen=True)
+class FNO1d:
+    """1D Fourier Neural Operator (Burgers' task member of the family).
+
+    Same four-block architecture as FNO2d/FNO3d (spectral conv + per-block
+    MLP + 1x1 skip, GELU between blocks, grid concat in the lift) on
+    [B, W, C] lines.  ``padding`` defaults to 0: the canonical Burgers task
+    is periodic, so no domain pad is needed (set it for non-periodic data).
+    """
+
+    modes1: int
+    width: int
+    in_feats: int = 2
+    padding: int = 0
+    spectral_impl: str = "auto"
+
+    _resolve_impl = FNO2d._resolve_impl
+
+    def init(self, key) -> dict:
+        w = self.width
+        ks = jax.random.split(key, 14)
+        params = {
+            "p": linear_init(ks[0], self.in_feats + 1, w),
+            "q": {"mlp1": _conv1x1_init(ks[1], w, w * 4),
+                  "mlp2": _conv1x1_init(ks[2], w * 4, 128)},
+        }
+        for i in range(4):
+            params[f"conv{i}"] = _spectral_init_1d(ks[3 + i], w, w, self.modes1)
+            params[f"w{i}"] = _conv1x1_init(ks[7 + i], w, w)
+            params[f"mlp{i}"] = {
+                "mlp1": _conv1x1_init(jax.random.fold_in(ks[11], i), w, w),
+                "mlp2": _conv1x1_init(jax.random.fold_in(ks[12], i), w, w)}
+        return params
+
+    def import_pth(self, state_dict) -> dict:
+        """Params from the canonical torch FNO1d layout: ``conv{i}.weights1``
+        (complex [Ci, Co, m1]), 1x1 Conv1d ``w{i}``/``mlp{i}.mlp{1,2}``/
+        ``q.mlp{1,2}``, Linear ``p``."""
+        import numpy as np
+
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+              for k, v in state_dict.items()}
+
+        def lin(prefix):
+            return {"w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).T,
+                                     jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+        def conv1x1(prefix):  # Conv1d k=1 weight [out, in, 1]
+            w = np.asarray(sd[f"{prefix}.weight"])
+            w = w.reshape(w.shape[0], w.shape[1])
+            return {"w": jnp.asarray(w.T, jnp.float32),
+                    "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+        params = {"p": lin("p"),
+                  "q": {"mlp1": conv1x1("q.mlp1"), "mlp2": conv1x1("q.mlp2")}}
+        for i in range(4):
+            w1 = np.asarray(sd[f"conv{i}.weights1"])
+            params[f"conv{i}"] = {
+                "w_re": jnp.asarray(w1.real, jnp.float32),
+                "w_im": jnp.asarray(w1.imag, jnp.float32)}
+            params[f"w{i}"] = conv1x1(f"w{i}")
+            params[f"mlp{i}"] = {"mlp1": conv1x1(f"mlp{i}.mlp1"),
+                                 "mlp2": conv1x1(f"mlp{i}.mlp2")}
+        return params
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, W, C_in] -> [B, W, 128]."""
+        b, w_dim = x.shape[0], x.shape[1]
+        gridx = jnp.broadcast_to(
+            jnp.linspace(0, 1, w_dim).reshape(1, w_dim, 1), (b, w_dim, 1))
+        x = jnp.concatenate([x, gridx], axis=-1)
+        x = linear(params["p"], x)
+        x = jnp.transpose(x, (0, 2, 1))  # [B, C, W]
+        pad = self.padding
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        spectral = (_spectral_conv_1d if self._resolve_impl() == "fft"
+                    else _spectral_conv1d_matmul)
+
+        for i in range(4):
+            x1 = spectral(params[f"conv{i}"], x, self.modes1)
+            x1 = _mlp_block_1d(params[f"mlp{i}"], x1)
+            x2 = _conv1x1_1d(params[f"w{i}"], x)
+            x = x1 + x2
+            if i < 3:
+                x = jax.nn.gelu(x, approximate=False)
+
+        if pad:
+            x = x[..., :-pad]
+        x = _mlp_block_1d(params["q"], x)
+        return jnp.transpose(x, (0, 2, 1))

@@ -24,13 +24,13 @@ unconsumed in both trees.
 from __future__ import annotations
 
 from .deeponet import DeepONet
-from .fno import FNO2d, FNO3d
+from .fno import FNO1d, FNO2d, FNO3d
 from .graphsage import GraphSAGE
 from .kernelnn import KernelNN
 from .teecnet import TEECNet
 
 GRAPH_MODELS = ("teecnet", "graphsage", "neuralop")
-GRID_MODELS = ("fno", "fno3d", "deeponet")
+GRID_MODELS = ("fno", "fno1d", "fno3d", "deeponet")
 
 
 def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
@@ -42,6 +42,15 @@ def init_model(type: str, in_channels: int, out_channels: int, **kwargs):
         return FNO2d(modes1=in_channels, modes2=out_channels,
                      width=kwargs["width"],
                      in_feats=kwargs.get("in_feats", 256))
+    elif type == "fno1d":
+        # beyond-parity 1D operator (Burgers' canonical task; no reference
+        # analog, hence no positional-binding quirk): modes from the `modes`
+        # exp-config key, in_feats = raw field channels, padding 0 default
+        # (the canonical Burgers task is periodic)
+        return FNO1d(modes1=int(kwargs.get("modes", 16)),
+                     width=kwargs["width"],
+                     in_feats=kwargs.get("in_feats", in_channels),
+                     padding=int(kwargs.get("padding", 0)))
     elif type == "fno3d":
         # beyond-parity volumetric FNO (no reference analog, hence no
         # positional-binding quirk): modes from the `modes` exp-config key

@@ -591,3 +591,165 @@ def test_spectral_fft_path_too_small_raises():
     p3 = _spectral_init_3d(jax.random.PRNGKey(0), 2, 2, 4, 3, 3)
     with pytest.raises(ValueError, match="too small"):
         _spectral_conv_3d(p3, jax.numpy.zeros((1, 2, 4, 12, 9)), 4, 3, 3)
+
+
+def test_spectral_conv1d_matmul_parity():
+    """1D FFT-free matmul-DFT spectral conv == jnp.fft path (values + grads),
+    incl. the even-W Nyquist column and an odd-W grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import (
+        _spectral_conv_1d, _spectral_conv1d_matmul, _spectral_init_1d)
+
+    key = jax.random.PRNGKey(0)
+    # (24, 13): m1-1 == W//2 hits the unmirrored Nyquist column; (25, 12) odd W
+    for w, m1 in [(64, 16), (24, 13), (25, 12)]:
+        p = _spectral_init_1d(key, 4, 6, m1)
+        x = jax.random.normal(jax.random.fold_in(key, w), (2, 4, w))
+        a = _spectral_conv_1d(p, x, m1)
+        b = _spectral_conv1d_matmul(p, x, m1)
+        assert float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a)) < 1e-5
+
+        ga = jax.grad(lambda p, x: jnp.sum(_spectral_conv_1d(p, x, m1) ** 2),
+                      argnums=(0, 1))(p, x)
+        gb = jax.grad(
+            lambda p, x: jnp.sum(_spectral_conv1d_matmul(p, x, m1) ** 2),
+            argnums=(0, 1))(p, x)
+        for ta, tb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            denom = float(jnp.linalg.norm(ta)) or 1.0
+            assert float(jnp.linalg.norm(ta - tb)) / denom < 1e-4
+
+
+def test_fno1d_model_impl_parity_and_registry():
+    """Full FNO1d forward identical across spectral impls; registry wires
+    'fno1d' with named modes/in_feats keys (no positional-binding quirk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO1d
+    from fast_eng_super_resolution_tpu.models.registry import init_model
+
+    m_fft = FNO1d(modes1=8, width=12, in_feats=2, spectral_impl="fft")
+    m_mm = FNO1d(modes1=8, width=12, in_feats=2, spectral_impl="matmul")
+    params = m_fft.init(jax.random.PRNGKey(1))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 2))
+    ya, yb = m_fft.apply(params, x), m_mm.apply(params, x)
+    assert ya.shape == (2, 32, 128)
+    assert float(jnp.linalg.norm(ya - yb) / jnp.linalg.norm(ya)) < 1e-5
+
+    m = init_model("fno1d", 2, 1, width=12, modes=8)
+    assert isinstance(m, FNO1d) and m.modes1 == 8 and m.in_feats == 2
+    assert m.padding == 0  # periodic default
+
+
+def test_fno1d_import_pth_layout():
+    """Canonical torch FNO1d weights (complex conv{i}.weights1, 1x1 Conv1d
+    blocks) import to params that reproduce the native forward exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.models.fno import FNO1d
+
+    m = FNO1d(modes1=4, width=6, in_feats=2, spectral_impl="fft")
+    ref = m.init(jax.random.PRNGKey(0))
+    sd = {"p.weight": np.asarray(ref["p"]["w"]).T,
+          "p.bias": np.asarray(ref["p"]["b"])}
+    for j in (1, 2):
+        w = np.asarray(ref["q"][f"mlp{j}"]["w"]).T
+        sd[f"q.mlp{j}.weight"] = w[:, :, None]
+        sd[f"q.mlp{j}.bias"] = np.asarray(ref["q"][f"mlp{j}"]["b"])
+    for i in range(4):
+        sd[f"conv{i}.weights1"] = (np.asarray(ref[f"conv{i}"]["w_re"])
+                                   + 1j * np.asarray(ref[f"conv{i}"]["w_im"]))
+        w = np.asarray(ref[f"w{i}"]["w"]).T
+        sd[f"w{i}.weight"] = w[:, :, None]
+        sd[f"w{i}.bias"] = np.asarray(ref[f"w{i}"]["b"])
+        for j in (1, 2):
+            w = np.asarray(ref[f"mlp{i}"][f"mlp{j}"]["w"]).T
+            sd[f"mlp{i}.mlp{j}.weight"] = w[:, :, None]
+            sd[f"mlp{i}.mlp{j}.bias"] = np.asarray(ref[f"mlp{i}"][f"mlp{j}"]["b"])
+    imported = m.import_pth(sd)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 2))
+    ya, yb = m.apply(ref, x), m.apply(imported, x)
+    assert float(jnp.abs(ya - yb).max()) < 1e-6
+
+
+def test_burgers_solver_physics():
+    """Viscous Burgers solver: conserves the mean exactly (conservative
+    form), dissipates energy monotonically, steepens toward a shock at low
+    viscosity, and self-converges under dt refinement."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import simulate_burgers
+
+    n = 128
+    x = np.arange(n) / n
+    u0 = np.sin(2 * np.pi * x)
+
+    u_half = simulate_burgers(u0, t_end=0.15, nu=5e-3, dt=1e-3)
+    u_full = simulate_burgers(u0, t_end=0.3, nu=5e-3, dt=1e-3)
+    # mean conservation (d/dt int u = 0 in conservative form, periodic)
+    assert abs(u_half.mean() - u0.mean()) < 1e-8
+    assert abs(u_full.mean() - u0.mean()) < 1e-8
+    # energy decay
+    e0, e1, e2 = (float((u ** 2).mean()) for u in (u0, u_half, u_full))
+    assert e0 > e1 > e2, (e0, e1, e2)
+    # shock steepening: max gradient grows before the viscous shock forms
+    # (sin IC shocks at t* = 1/(2 pi) ~ 0.159)
+    g0 = np.abs(np.gradient(u0)).max()
+    g1 = np.abs(np.gradient(u_half)).max()
+    assert g1 > 2.0 * g0, (g0, g1)
+    # dt self-convergence
+    u_fine_dt = simulate_burgers(u0, t_end=0.3, nu=5e-3, dt=5e-4)
+    rel = np.abs(u_full - u_fine_dt).max() / (np.abs(u_fine_dt).max() + 1e-12)
+    assert rel < 5e-3, rel
+
+
+def test_burgers_pair_and_dataset(tmp_path):
+    """Burgers pairs: shapes, finite, coarse channel a strong-but-imperfect
+    baseline, IC channel coarse-resolvable; dataset caches and round-trips."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        BurgersDataset, burgers_pair)
+
+    rng = np.random.default_rng(0)
+    x, y = burgers_pair(128, rng, factor=4)
+    assert x.shape == (128, 2) and y.shape == (128, 1)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    assert np.abs(y).max() <= 1.0 + 1e-6  # normalized by max |fine|
+    cc = np.corrcoef(x[:, 0], y[:, 0])[0, 1]
+    assert cc > 0.8, cc
+    base_mse = float(((x[:, 0] - y[:, 0]) ** 2).mean())
+    assert base_mse > 1e-6  # room for the model to improve
+
+    ds = BurgersDataset(str(tmp_path), num_samples=3, resolution=64,
+                        downsample=4, t_end=0.5)
+    assert len(ds) == 3 and ds[1]["x"].shape == (64, 2)
+    ds2 = BurgersDataset(str(tmp_path), num_samples=3, resolution=64,
+                         downsample=4, t_end=0.5)
+    assert np.array_equal(ds2[1]["x"], ds[1]["x"])  # served from cache
+
+
+def test_fno1d_trains_on_burgers(tmp_path):
+    import jax
+
+    from fast_eng_super_resolution_tpu.data.grid_dataset import BurgersDataset
+    from fast_eng_super_resolution_tpu.models.fno import FNO1d
+    from fast_eng_super_resolution_tpu.parallel.grid_train import GridTrainer
+
+    ds = BurgersDataset(str(tmp_path), num_samples=8, resolution=64,
+                        downsample=4, t_end=0.5)
+    x = np.stack([ds[i]["x"] for i in range(8)])
+    y = np.stack([ds[i]["y"] for i in range(8)])
+
+    model = FNO1d(modes1=8, width=16, in_feats=2)
+    trainer = GridTrainer(model, lr=5e-3, out_channels=1)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), x)
+    assert "proj" in params  # 128 -> 1 projection added
+
+    first = trainer.evaluate(params, x, y)
+    for _ in range(120):
+        params, opt_state, loss = trainer.step(params, opt_state, x, y)
+    last = trainer.evaluate(params, x, y)
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
+    assert np.asarray(trainer.predict(params, x)).shape == y.shape
