@@ -25,6 +25,25 @@ _HERE = (os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals()
 sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("benchmarks") else _HERE)
 
 
+def _reconstruct(out, batch, n_points: int) -> np.ndarray:
+    """Overlap-average device reconstruction shared by both lanes.
+
+    Relies on pad_batch_to_multiple's convention: padded rows reuse graph 0's
+    global_ids but node_mask zeroes their weights, so the clamp + mask pair
+    is the single encoding of that contract for every lane.
+    """
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.data.reconstruct import (
+        make_overlap_average_device)
+
+    preds_flat = out.reshape(-1, out.shape[-1])
+    gids = jnp.maximum(batch.global_ids.reshape(-1), 0).astype(jnp.int32)
+    weights = batch.node_mask.reshape(-1).astype(jnp.float32)
+    return np.asarray(make_overlap_average_device(n_points)(
+        preds_flat, gids, weights))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--nodes", type=int, default=1_000_000)
@@ -87,6 +106,13 @@ def main():
     t_pad = time.perf_counter() - t0
     print(f"pad/bucket: {batch.x.shape} ({t_pad:.1f}s)")
 
+    n_chunks = batch.x.shape[0] // args.chunk
+    if args.fused:
+        # branch BEFORE the XLA lane's full-batch device upload below — at
+        # 1M+ nodes that stack is GBs of HBM and untimed tunnel dispatches
+        # the fused lane never uses
+        return run_fused(args, mesh, batch, n_chunks, t_part)
+
     model = KernelNN(width=args.width, ker_width=args.width, depth=5, ker_in=1,
                      in_width=4, out_width=4)
     params = model.init(jax.random.PRNGKey(0))
@@ -96,12 +122,8 @@ def main():
     # all chunks in ONE program: lax.map keeps the per-chunk transient bounded
     # while avoiding per-chunk dispatch (a round trip per chunk dominates over
     # the axon tunnel; one dispatch is also the right shape for real pods)
-    n_chunks = len(chunks)
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *chunks)
-
-    if args.fused:
-        return run_fused(args, mesh, batch, n_chunks, t_part)
 
     @jax.jit
     def run_all(params, stacked):
@@ -143,14 +165,8 @@ def main():
 
     # device-side overlap averaging: one segment-sum over all padded nodes,
     # transfer only the final [num_nodes, C] field
-    from fast_eng_super_resolution_tpu.data.reconstruct import make_overlap_average_device
-
     t0 = time.perf_counter()
-    preds_flat = out.reshape(-1, out.shape[-1])
-    gids = jnp.maximum(batch.global_ids.reshape(-1), 0).astype(jnp.int32)
-    weights = batch.node_mask.reshape(-1).astype(jnp.float32)
-    recon_fn = make_overlap_average_device(len(mesh.points))
-    recon = np.asarray(recon_fn(preds_flat, gids, weights))
+    recon = _reconstruct(out, batch, len(mesh.points))
     t_recon = time.perf_counter() - t0
 
     total_nodes = len(mesh.points)
@@ -232,17 +248,10 @@ def run_fused(args, mesh, batch, n_chunks: int, t_part: float):
     t_infer = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(checksum)
 
-    from fast_eng_super_resolution_tpu.data.reconstruct import (
-        make_overlap_average_device)
-
     t0 = time.perf_counter()
     # block-diagonal group layout: [n_chunks, per*n, C] -> padded node rows
     # align with batch.global_ids / node_mask reshaped the same way
-    preds_flat = out.reshape(-1, out.shape[-1])
-    gids = jnp.maximum(batch.global_ids.reshape(-1), 0).astype(jnp.int32)
-    weights = batch.node_mask.reshape(-1).astype(jnp.float32)
-    recon = np.asarray(make_overlap_average_device(len(mesh.points))(
-        preds_flat, gids, weights))
+    recon = _reconstruct(out, batch, len(mesh.points))
     t_recon = time.perf_counter() - t0
 
     total_nodes = len(mesh.points)

@@ -62,8 +62,11 @@ def grid_main(args):
         tr = GridTrainer(model, lr=0.0, out_channels=1)
         params, _ = tr.init(jax.random.PRNGKey(0), x)
         np.asarray(tr.predict(params, x))  # compile + warm
-        ts = sorted(_time(lambda: np.asarray(tr.predict(params, x)))
-                    for _ in range(args.requests))
+        # perturb the input per request: the axon relay serves repeated
+        # byte-identical executions from cache (CLAUDE.md timing rule)
+        xs = [x * (1.0 + 1e-4 * (i + 1)) for i in range(args.requests)]
+        ts = sorted(_time(lambda xi=xi: np.asarray(tr.predict(params, xi)))
+                    for xi in xs)
         print(f"{name}: p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
               f"min {ts[0] * 1e3:.0f} ms", flush=True)
 

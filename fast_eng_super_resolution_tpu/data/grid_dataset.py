@@ -80,7 +80,8 @@ def _bilinear_sample(field: np.ndarray, xq: np.ndarray, yq: np.ndarray) -> np.nd
             + field[x0, y1] * (1 - fx) * fy + field[x1, y1] * fx * fy)
 
 
-def _check_coarse_nyquist(n: int, factor: int, max_mode: int) -> None:
+def _check_coarse_nyquist(n: int, factor: int, max_mode: int,
+                          ndim: int = 2) -> None:
     """The learnability precondition of the low-mode tasks is that the
     coarse grid exactly represents every excited mode: subsampling the fine
     IC/velocity IS the coarse one.  A coarse grid of m = n//factor points
@@ -89,8 +90,9 @@ def _check_coarse_nyquist(n: int, factor: int, max_mode: int) -> None:
     lower mode and the coarse run silently evolves a DIFFERENT flow."""
     m = n // factor
     if m <= 2 * max_mode:
+        shape = "x".join([str(m)] * ndim)
         raise ValueError(
-            f"coarse grid {m}x{m} (resolution {n} / downsample {factor}) "
+            f"coarse grid {shape} (resolution {n} / downsample {factor}) "
             f"aliases the excited modes |k| <= {max_mode}; need "
             f"resolution // downsample > {2 * max_mode} (lower max_mode or "
             "the downsample factor)")
@@ -300,7 +302,7 @@ def advected_scalar3d_pair(n: int, rng: np.random.Generator, factor: int = 2,
     semi-Lagrangian stepping at two resolutions sharing the same IC and the
     same coarse-resolvable velocity.  Returns (x, y), each [n, n, n, 1].
     """
-    _check_coarse_nyquist(n, factor, max_mode)
+    _check_coarse_nyquist(n, factor, max_mode, ndim=3)
     grid = np.arange(n)
     gx, gy, gz = np.meshgrid(grid, grid, grid, indexing="ij")
     theta0 = np.zeros((n, n, n))
@@ -779,7 +781,7 @@ def burgers_pair(n: int, rng: np.random.Generator, factor: int = 4,
     Returns (x [n, 2], y [n, 1]) float32; channel 0 of x is the upsampled
     coarse solution (the improvement baseline, like every other dataset).
     """
-    _check_coarse_nyquist(n, factor, max_mode)
+    _check_coarse_nyquist(n, factor, max_mode, ndim=1)
     u0 = _low_mode_ic_1d(n, rng, max_mode=max_mode) * amp
     fine = simulate_burgers(u0, t_end=t_end, nu=nu, dt=dt)
     coarse = simulate_burgers(u0[::factor], t_end=t_end, nu=nu, dt=dt)

@@ -964,15 +964,17 @@ class PartitionScheduler:
                 key = ("chunk",) + ckey + (b, n)
                 entry = self._fused_cache.get(key)
                 if entry is None:
-                    # one-time per (mesh, chunk): merge + the 4 fetches
-                    # below are paid only on a cache miss
+                    # one-time per (mesh, chunk): fetch the chunk ONCE and
+                    # merge host-side (merge_batch is host-polymorphic) —
+                    # merging the device-resident chunk ran ~7 eager jnp ops
+                    # over the tunnel (~0.5 s each) plus 4 array fetches
                     from ..core.graph import merge_batch
 
-                    merged, _ = merge_batch(chunk)
-                    send = np.asarray(merged.senders)
-                    recv = np.asarray(merged.receivers)
-                    ea = np.asarray(merged.edge_attr)
-                    em = np.asarray(merged.edge_mask)
+                    merged, _ = merge_batch(jax.device_get(chunk))
+                    send = merged.senders
+                    recv = merged.receivers
+                    ea = merged.edge_attr
+                    em = merged.edge_mask
                     ea_b, sp, sm, rows_blk, blk = infer_model.prepare_fused(
                         send, recv, ea, merged.x.shape[0], em, compact=True)
                     ops = (jnp.asarray(ea_b), jnp.asarray(sp),
