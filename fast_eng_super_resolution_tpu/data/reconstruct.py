@@ -13,6 +13,8 @@ Device path: one jit-able segment-sum over the concatenated node axis.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,12 +47,18 @@ def overlap_average(
     return acc.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
 def make_overlap_average_device(num_nodes: int):
     """Returns a jit'd overlap-averaging fn closed over the static mesh size.
 
     Inputs are the concatenated subdomain node axis: predictions [T, C],
     global_ids [T] int32, weights [T] (0 for padding rows — padding's
     global_ids may point anywhere valid).  One segment-sum pass.
+
+    Cached per mesh size: a fresh closure per call would carry a fresh jit
+    cache, so every warm caller would pay a re-trace + compilation-cache
+    load (the round-3 serving lesson: never rebuild jit wrappers on a
+    request path).
     """
 
     @jax.jit

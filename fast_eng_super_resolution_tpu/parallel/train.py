@@ -242,10 +242,14 @@ def make_fused_shard_batches(batch: GraphBatch, model, n_dev: int,
 
     sr = np.stack([s.slot_rows for _, _, _, s, *_ in built])
     rw = np.stack([s.row_weight for _, _, _, s, *_ in built])
+    # inference callers (with_graph=False) consume only senders_perm — the
+    # backward's senders_dump would otherwise be dead weight host-stacked and
+    # uploaded anyway (~88 MB at 1M nodes: ~2 s memcpy + ~0.8 s tunnel)
+    aux_keys = (built[0][2].keys() if with_graph else ("senders_perm",))
     fused = {
         "edge_attr": stack([ea for _, ea, *_ in built]),
         "aux": {k: stack([aux[k] for _, _, aux, *_ in built])
-                for k in built[0][2]},
+                for k in aux_keys},
     }
     if expand_s:
         fused["s"] = to_device_s_stacked(

@@ -341,6 +341,10 @@ def test_fused_shard_batches_compact_s():
                                               expand_s=False)
     assert (rb, bk) == (rb2, bk2)
     assert comp["graph"] is None and "s" not in comp["fused"]
+    # inference callers get only the forward's senders_perm; the backward's
+    # senders_dump is stacked/uploaded for training callers alone
+    assert set(comp["fused"]["aux"]) == {"senders_perm"}
+    assert set(dense["fused"]["aux"]) == {"senders_perm", "senders_dump"}
     sc = comp["fused"]["s_compact"]
     for d in range(2):
         got = np.asarray(expand_s(sc["slot_rows"][d], sc["row_weight"][d],
