@@ -90,6 +90,11 @@ def main():
                              "(PCA encoder + k-means routing; labels enter "
                              "the serve program as data).  Measured round 3: "
                              "p50 35 ms at 2 experts, 432-node mesh")
+    parser.add_argument("--coalesce", type=int, default=0,
+                        help=">0 also measures predict_full_batch with R "
+                             "same-geometry requests per dispatch (distinct "
+                             "payloads) — per-request latency = batch "
+                             "time / R; the tunnel RTT amortizes R-fold")
     args = parser.parse_args()
     if args.grid:
         return grid_main(args)
@@ -147,6 +152,24 @@ def main():
             ts = sorted(_time(fn) for _ in range(args.requests))
             print(f"{name}: p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
                   f"min {ts[0] * 1e3:.0f} ms", flush=True)
+
+        if args.coalesce > 0 and fast is not None and args.experts == 1:
+            r = args.coalesce
+            # distinct payloads per request AND per timing round, so the
+            # relay's identical-execution cache can't serve any of them
+            def reqs(round_i):
+                return [[dict(d, x=np.asarray(d["x"])
+                              * (1.0 + 1e-3 * (round_i * r + i + 1)))
+                         for d in x] for i in range(r)]
+
+            out = sched.predict_full_batch(reqs(-1), n)  # compile + warm
+            assert out is not None and len(out) == r
+            ts = sorted(_time(lambda q=reqs(j): sched.predict_full_batch(q, n))
+                        for j in range(args.requests))
+            p50, tmin = ts[len(ts) // 2], ts[0]
+            print(f"coalesced x{r}: p50 {p50 * 1e3:.0f} ms/batch "
+                  f"({p50 / r * 1e3:.1f} ms/request; min "
+                  f"{tmin / r * 1e3:.1f})", flush=True)
 
 
 def _time(fn):

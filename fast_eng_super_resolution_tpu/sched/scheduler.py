@@ -551,8 +551,6 @@ class PartitionScheduler:
         to ``predict`` + host ``overlap_average``; same math either way —
         the reconstruction is an exact segment mean, GraphDataset.py:1396).
         """
-        from ..core.graph import merge_batch
-
         fused_env = os.environ.get("FESR_FUSED_PREDICT", "1")
         ok = (self._single_device()
               and hasattr(self, "params_list")
@@ -588,10 +586,44 @@ class PartitionScheduler:
         if hasattr(self.model, "edges_sorted"):
             infer_model = _dc.replace(self.model, edges_sorted=True)
 
-        # Cache key from the RAW (host numpy) geometry (_hash_geometry) —
-        # per-subdomain shapes are hashed too, so node/edge counts (which
-        # determine the cached masks and scatter blocks) are part of the
-        # identity.
+        entry = self._full_cache_entry(raw, num_nodes, infer_model,
+                                       b, n_pad, e_pad)
+        if entry is None:
+            return None
+        ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
+        xm, ym = self._pack_full_payload(raw, b, n_pad)
+
+        # keyed on the frozen model config + interpret flag (like every
+        # other cached jit here) so a swapped model never serves through a
+        # stale closure
+        jits = self._predict_jits = getattr(self, "_predict_jits", {})
+        sk = ("serve_full", infer_model, interp)
+        if sk not in jits:
+            jits[sk] = jax.jit(
+                lambda params, xm, ym, ea_b, sp, sm, gid, w, rows_blk, blk,
+                nn: self._serve_body(infer_model, params, xm, ym, ea_b, sp,
+                                     sm, gid, w, rows_blk, blk, nn, interp),
+                static_argnums=(8, 9, 10))
+        fn = jits[sk]
+        out = fn(self.params_list[0], xm, ym, ea_b_j, sp_j, sm_j, gid_j,
+                 w_j, rows_blk, blk, num_nodes)
+        if isinstance(out, tuple):  # pred/ref channel counts differ
+            return np.asarray(out[0]), np.asarray(out[1])
+        o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
+        return o[0], o[1]
+
+    def _full_cache_entry(self, raw, num_nodes: int, infer_model,
+                          b: int, n_pad: int, e_pad: int):
+        """Build-or-fetch the fused serving operands for one mesh geometry.
+
+        Cache key from the RAW (host numpy) geometry (_hash_geometry) —
+        per-subdomain shapes are hashed too, so node/edge counts (which
+        determine the cached masks and scatter blocks) are part of the
+        identity.  Shared by the single-request and coalesced lanes (same
+        key: a warm single-request mesh serves batched requests for free).
+        """
+        from ..core.graph import merge_batch
+
         key = ("full", self._hash_geometry(raw, with_gids=True), num_nodes,
                b * n_pad, e_pad)
         entry = self._fused_cache.get(key)
@@ -619,12 +651,14 @@ class PartitionScheduler:
                    rows_blk, blk)
             entry = self._cache_put(key, ops,
                                     sum(int(a.size) * 4 for a in ops[:5]))
-        ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
+        return entry
 
-        # Per-request payload packing, host side — identical layout to
-        # merge_batch(pad_and_bucket(raw)).x/.y (zeros in padded slots,
-        # original subdomain order), without re-padding and re-uploading the
-        # graph geometry on every request.
+    @staticmethod
+    def _pack_full_payload(raw, b: int, n_pad: int):
+        """Per-request payload packing, host side — identical layout to
+        merge_batch(pad_and_bucket(raw)).x/.y (zeros in padded slots,
+        original subdomain order), without re-padding and re-uploading the
+        graph geometry on every request."""
         c_in = raw[0]["x"].shape[1]
         y0 = raw[0]["y"]
         c_out = y0.shape[1] if y0 is not None else c_in
@@ -635,25 +669,104 @@ class PartitionScheduler:
             xm[i * n_pad: i * n_pad + n_i] = g["x"]
             if g["y"] is not None:
                 ym[i * n_pad: i * n_pad + n_i] = g["y"]
+        return xm, ym
 
-        # keyed on the frozen model config + interpret flag (like every
-        # other cached jit here) so a swapped model never serves through a
-        # stale closure
+    def predict_full_batch(self, requests: list, num_nodes: int):
+        """Coalesced serving: R same-geometry requests in ONE dispatch.
+
+        The single-request fast path is tunnel-round-trip-bound (~35-40 ms
+        RTT vs a few ms of compute at serving mesh sizes, BASELINE.md) — a
+        deployment serving a stream of new coarse fields on one deployed
+        mesh pays that RTT per request.  Here the R payloads ride one upload
+        as [R, nodes, C], a ``lax.scan`` applies the fused predict + exact
+        segment-mean reconstruction per request inside one program (peak
+        transient stays one request's), and the stacked [R, 2, num_nodes, C]
+        output is ONE fetch — the RTT amortizes R-fold.
+
+        Same preconditions as ``predict_full`` plus shared geometry
+        (senders/receivers/edge_attr/global_ids equal across requests,
+        verified by raw-geometry hash); the routed lane falls back.  R pads
+        up to the next power of two with zero payloads so the program
+        compiles once per R-bucket, not per R.  Returns a list of
+        (pred_full, ref_full) numpy pairs in request order, or None when the
+        fast path doesn't apply (caller serves per-request).
+
+        Reference analog: none — its inference scatter parallelizes one
+        mesh's subdomains across GPUs (scheduler_gnn.py:253-291); request
+        coalescing is a serving capability the torch stack lacks.
+        """
+        if not requests:
+            return []
+        fused_env = os.environ.get("FESR_FUSED_PREDICT", "1")
+        ok = (self._single_device()
+              and hasattr(self, "params_list")
+              and self.num_partitions == 1
+              and (jax.default_backend() in ("tpu", "axon")
+                   or fused_env == "force")
+              and fused_env != "0"
+              and hasattr(self.model, "apply_fused")
+              and getattr(self.model, "fused_ok", True)
+              and all(d.get("global_node_ids") is not None
+                      and d.get("field_scale") is None
+                      for r in requests for d in r))
+        if not ok:
+            return None
+        interp = fused_env == "force" and jax.default_backend() not in (
+            "tpu", "axon")
+        raws = [[_as_raw_graph(d) for d in r] for r in requests]
+        h0 = self._hash_geometry(raws[0], with_gids=True)
+        if any(self._hash_geometry(r, with_gids=True) != h0
+               for r in raws[1:]):
+            return None  # differing geometry: serve per-request
+        spec = BucketSpec()
+        b = len(raws[0])
+        n_pad, e_pad = spec.bucket_for(
+            max(g["x"].shape[0] for g in raws[0]),
+            max(g["senders"].shape[0] for g in raws[0]))
+        if b * e_pad > int(os.environ.get("FESR_PREDICT_EDGE_BUDGET",
+                                          300_000)):
+            return None  # scan holds one request; budget is per-request
+
+        import dataclasses as _dc
+        infer_model = self.model
+        if hasattr(self.model, "edges_sorted"):
+            infer_model = _dc.replace(self.model, edges_sorted=True)
+        entry = self._full_cache_entry(raws[0], num_nodes, infer_model,
+                                       b, n_pad, e_pad)
+        if entry is None:
+            return None
+        ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
+
+        packed = [self._pack_full_payload(r, b, n_pad) for r in raws]
+        r_real = len(packed)
+        r_pad = 1 << (r_real - 1).bit_length()  # next power of two
+        xb = np.zeros((r_pad,) + packed[0][0].shape, np.float32)
+        yb = np.zeros((r_pad,) + packed[0][1].shape, np.float32)
+        for i, (xm, ym) in enumerate(packed):
+            xb[i], yb[i] = xm, ym
+
         jits = self._predict_jits = getattr(self, "_predict_jits", {})
-        sk = ("serve_full", infer_model, interp)
+        sk = ("serve_full_batch", infer_model, interp)
         if sk not in jits:
-            jits[sk] = jax.jit(
-                lambda params, xm, ym, ea_b, sp, sm, gid, w, rows_blk, blk,
-                nn: self._serve_body(infer_model, params, xm, ym, ea_b, sp,
-                                     sm, gid, w, rows_blk, blk, nn, interp),
-                static_argnums=(8, 9, 10))
-        fn = jits[sk]
-        out = fn(self.params_list[0], xm, ym, ea_b_j, sp_j, sm_j, gid_j,
-                 w_j, rows_blk, blk, num_nodes)
+            def _batch_body(params, xb, yb, ea_b, sp, sm, gid, w, rows_blk,
+                            blk, nn):
+                def body(carry, xy):
+                    xm, ym = xy
+                    return carry, self._serve_body(
+                        infer_model, params, xm, ym, ea_b, sp, sm, gid, w,
+                        rows_blk, blk, nn, interp)
+
+                _, outs = jax.lax.scan(body, 0, (xb, yb))
+                return outs
+
+            jits[sk] = jax.jit(_batch_body, static_argnums=(8, 9, 10))
+        out = jits[sk](self.params_list[0], xb, yb, ea_b_j, sp_j, sm_j,
+                       gid_j, w_j, rows_blk, blk, num_nodes)
         if isinstance(out, tuple):  # pred/ref channel counts differ
-            return np.asarray(out[0]), np.asarray(out[1])
-        o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
-        return o[0], o[1]
+            preds, refs = np.asarray(out[0]), np.asarray(out[1])
+            return [(preds[i], refs[i]) for i in range(r_real)]
+        o = np.asarray(out)  # stacked [R, 2, num_nodes, C] — ONE fetch
+        return [(o[i, 0], o[i, 1]) for i in range(r_real)]
 
     @staticmethod
     def _serve_body(infer_model, params, xm, ym, ea_b, sp, sm, gid, w,

@@ -573,6 +573,24 @@ def test_predict_full_single_dispatch_parity(synth, tmp_path_factory,
     x_nogid = [dict(d, global_node_ids=None) for d in x]
     assert sched.predict_full(x_nogid, n) is None
 
+    # coalesced lane (predict_full_batch): R same-geometry requests with
+    # distinct payloads in ONE program must equal per-request predict_full
+    # exactly (same operands, same kernel, scan over requests); R=3 pads to
+    # the 4-bucket, so the zero-padded slot must not perturb real outputs
+    reqs = [[dict(d, x=np.asarray(d["x"]) * (1.0 + 0.1 * i),
+                  y=np.asarray(d["y"]) * (1.0 - 0.05 * i)) for d in x]
+            for i in range(3)]
+    got = sched.predict_full_batch(reqs, n)
+    assert got is not None and len(got) == 3
+    for i, (pb, rb) in enumerate(got):
+        ps, rs = sched.predict_full(reqs[i], n)
+        np.testing.assert_array_equal(pb, ps)
+        np.testing.assert_array_equal(rb, rs)
+    # differing geometry across requests falls back to None
+    other = [dict(d, edge_attr=np.asarray(d["edge_attr"]) * 1.5)
+             for d in reqs[0]]
+    assert sched.predict_full_batch([reqs[0], other], n) is None
+
 
 def test_hetero_batches_cut_padding_on_skew(synth, tmp_path_factory):
     """hetero_batches: size-sorted per-batch padding on a 5x-skewed workload
