@@ -602,6 +602,9 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "ns3d_grid":
         from .grid_dataset import NSSpacetimeDataset
         return NSSpacetimeDataset(root=root, **kwargs)
+    elif name == "ns_rollout":
+        from .grid_dataset import NSRolloutDataset
+        return NSRolloutDataset(root=root, **kwargs)
     elif name == "burgers_grid":
         from .grid_dataset import BurgersDataset
         return BurgersDataset(root=root, **kwargs)

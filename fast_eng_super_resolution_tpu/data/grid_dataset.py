@@ -809,3 +809,52 @@ class BurgersDataset(_CachedGridDataset):
         super().__init__(root, params, lambda rng: burgers_pair(
             resolution, rng, factor=downsample, t_end=t_end, nu=nu, amp=amp,
             dt=dt, max_mode=max_mode))
+
+
+class NSRolloutDataset:
+    """Autoregressive-rollout view of the space-time NS workload.
+
+    Beyond-parity lane (no reference analog — the reference's FNO is a
+    one-shot map, /root/reference/models/model.py:13-141): instead of
+    mapping the coarse solve to the fine solve at a fixed horizon, train a
+    fine-resolution TIME-STEPPER on consecutive fine-frame pairs and compose
+    it at serve time — the standard autoregressive use of the FNO.  Because
+    the initial vorticity is low-mode (exactly representable on the coarse
+    grid), the rollout needs ONLY the IC: it replaces the fine solver
+    outright rather than correcting a coarse run.  ``guided=True`` adds the
+    upsampled coarse frame at the TARGET time as a second input channel (the
+    coarse solve is cheap at serve time), anchoring the rollout against
+    accumulated drift.
+
+    Training samples are the S*T one-step pairs, trajectory-major — so
+    ``train_samples: K*t_frames`` holds out whole trajectories, and the
+    one-step val loss is computed on frames from UNSEEN trajectories.
+    Rollout evaluation (grid_runner.pred_rollout) reads ``trajectories``
+    [S, T+1, n, n] (frame 0 = the IC) and ``coarse_frames`` [S, T, n, n]
+    directly.  Wraps NSSpacetimeDataset, reusing its cache byte-for-byte.
+    """
+
+    rollout_eval = True
+
+    def __init__(self, root: str, guided: bool = False, **kwargs):
+        inner = NSSpacetimeDataset(root=root, **kwargs)
+        ic = inner.x[:, 0, :, :, 1]            # [S, n, n]: the IC channel
+        fine = inner.y[..., 0]                 # [S, T, n, n]
+        self.trajectories = np.concatenate([ic[:, None], fine], axis=1)
+        self.coarse_frames = inner.x[..., 0]   # [S, T, n, n], upsampled
+        self.guided = bool(guided)
+        self.t_frames = int(fine.shape[1])
+
+    def __len__(self):
+        return self.trajectories.shape[0] * self.t_frames
+
+    def __getitem__(self, i):
+        s, t = divmod(int(i), self.t_frames)
+        cur = self.trajectories[s, t]
+        if self.guided:
+            # coarse_frames[s, t] is the coarse solve AT the target time
+            # (frames exclude t=0, so coarse index t aligns with traj t+1)
+            x = np.stack([cur, self.coarse_frames[s, t]], axis=-1)
+        else:
+            x = cur[..., None]
+        return {"x": x, "y": self.trajectories[s, t + 1][..., None]}

@@ -179,3 +179,99 @@ def pred_grid(idxs, exp_name: str, model, dataset, exp_config: dict,
         print("Prediction done!")
         outputs.append(out_path)
     return outputs
+
+
+def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
+                 log_dir: str = "logs") -> list[str]:
+    """Autoregressive rollout evaluation over held-out trajectories.
+
+    Rolls the trained one-step model from each trajectory's IC for T frames
+    in ONE batched jit dispatch (lax.scan over time, batch over
+    trajectories — tunnel-latency immune like the scanned training epochs),
+    then scores the FINAL frame against the fine solve, with the upsampled
+    coarse solve's final frame as the improvement baseline — the same
+    baseline the one-shot 'ns_grid' lane uses, so the numbers compare
+    directly.  Prints per-``idxs`` lines in the pred_grid format plus the
+    all-held-out mean (the reporting discipline BASELINE.md records).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .core import checkpoint as ckpt
+
+    params = ckpt.load_params(_collection_path(log_dir, exp_name))
+    T = dataset.t_frames
+    k_pairs = exp_config.get("train_samples")
+    n_traj = dataset.trajectories.shape[0]
+    if k_pairs is not None:
+        eval_idx = list(range(int(k_pairs) // T, n_traj))
+    else:
+        eval_idx = sorted(int(i) for i in idxs)
+
+    traj = dataset.trajectories[eval_idx]      # [B, T+1, n, n]
+    coarse = dataset.coarse_frames[eval_idx]   # [B, T, n, n]
+    guided = dataset.guided
+
+    from .models.common import linear
+
+    def apply_full(p, x):
+        # checkpoints hold the GridTrainer param dict: the model params plus
+        # an optional output-width projection head (grid_train.GridTrainer)
+        out = model.apply(p["model"], x)
+        if "proj" in p:
+            out = linear(p["proj"], out)
+        return out
+
+    def rollout(p, frame0, coarse_seq):
+        # frame0 [B, n, n]; coarse_seq [T, B, n, n] (guidance; unused in
+        # pure mode — the scan carries only the model's own prediction)
+        def body(f, c):
+            x = jnp.stack([f, c], axis=-1) if guided else f[..., None]
+            nxt = apply_full(p, x)[..., 0]
+            return nxt, nxt
+
+        _, frames = jax.lax.scan(body, frame0, coarse_seq)
+        return frames  # [T, B, n, n]
+
+    with span("Prediction"):
+        frames = np.asarray(jax.jit(rollout)(
+            params, jnp.asarray(traj[:, 0]),
+            jnp.asarray(np.moveaxis(coarse, 1, 0))))
+    frames = np.moveaxis(frames, 0, 1)         # [B, T, n, n]
+
+    fine = traj[:, 1:]                          # [B, T, n, n]
+    ax = (1, 2)                                 # spatial axes of one frame
+    mse_roll_final = ((frames[:, -1] - fine[:, -1]) ** 2).mean(ax)
+    mse_base_final = ((coarse[:, -1] - fine[:, -1]) ** 2).mean(ax)
+    mse_roll_all = ((frames - fine) ** 2).mean((2, 3))   # [B, T]
+    mse_base_all = ((coarse - fine) ** 2).mean((2, 3))
+
+    out_dir = os.path.join(log_dir, "vtk", exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    outputs = []
+    pos = {s: j for j, s in enumerate(eval_idx)}
+    for idx in idxs:
+        j = pos.get(int(idx))
+        if j is None:
+            print(f"pred_{idx}: not in the held-out range, skipped")
+            continue
+        factor = float(mse_base_final[j] / max(mse_roll_final[j], 1e-30))
+        out_path = os.path.join(out_dir, f"pred_{idx}.npz")
+        np.savez(out_path, pred=frames[j, -1][..., None],
+                 ref=fine[j, -1][..., None], input=traj[j, 0][..., None],
+                 rollout=frames[j])
+        print(f"pred_{idx}: baseline MSE {float(mse_base_final[j]):.6e}, "
+              f"model MSE {float(mse_roll_final[j]):.6e}, "
+              f"improvement {factor:.2f}x")
+        print("Prediction done!")
+        outputs.append(out_path)
+
+    mean_final = float((mse_base_final / np.maximum(mse_roll_final,
+                                                    1e-30)).mean())
+    mean_frames = float((mse_base_all / np.maximum(mse_roll_all,
+                                                   1e-30)).mean())
+    mode = "guided" if guided else "pure"
+    print(f"rollout[{mode}] all-held-out mean over {len(eval_idx)} "
+          f"trajectories: final-frame {mean_final:.2f}x, "
+          f"per-frame {mean_frames:.2f}x")
+    return outputs

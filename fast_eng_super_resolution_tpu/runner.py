@@ -146,13 +146,18 @@ def main(args):
     if args.model in GRID_MODELS:
         # dense-tensor family: FNO/DeepONet train on [B, H, W, C] snapshots,
         # not on the graph scheduler (see grid_runner module docstring)
-        from .grid_runner import pred_grid, train_grid
+        from .grid_runner import pred_grid, pred_rollout, train_grid
 
         print("Dataset loaded!")
         if args.mode == "train":
             return train_grid(args.exp_name, model, dataset, train_config,
                               exp_config)
         elif args.mode in ("pred", "predict"):
+            if getattr(dataset, "rollout_eval", False):
+                # autoregressive time-stepper lane: compose the one-step
+                # model over the horizon instead of scoring one-step pairs
+                return pred_rollout(exp_config["idxs"], args.exp_name,
+                                    model, dataset, exp_config)
             return pred_grid(exp_config["idxs"], args.exp_name, model,
                              dataset, exp_config)
         raise ValueError(f"Unknown mode: {args.mode}")

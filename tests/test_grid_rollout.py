@@ -1,0 +1,92 @@
+"""Autoregressive NS rollout lane: dataset view consistency + end-to-end
+rollout evaluation (grid_runner.pred_rollout) in both pure and guided modes.
+
+No reference analog (the reference's FNO is a one-shot map,
+/root/reference/models/model.py:13-141); the lane composes a trained
+one-step FNO2d over the horizon from the low-mode IC.
+"""
+
+import numpy as np
+import pytest
+
+# smallest geometry past the Nyquist guard: 16 res / downsample 2 keeps the
+# coarse grid's Nyquist above the default max_mode=3 IC
+DS_KW = dict(num_samples=3, resolution=16, downsample=2, t_frames=4,
+             t_end=0.2, dt=5e-3)
+
+
+def _dataset(tmp_path, **kw):
+    from fast_eng_super_resolution_tpu.data.grid_dataset import NSRolloutDataset
+
+    return NSRolloutDataset(str(tmp_path), **{**DS_KW, **kw})
+
+
+def test_rollout_dataset_view(tmp_path):
+    from fast_eng_super_resolution_tpu.data.grid_dataset import NSSpacetimeDataset
+
+    ds = _dataset(tmp_path)
+    S, T, n = 3, 4, 16
+    assert ds.rollout_eval and ds.t_frames == T
+    assert len(ds) == S * T
+    assert ds.trajectories.shape == (S, T + 1, n, n)
+    assert ds.coarse_frames.shape == (S, T, n, n)
+
+    # pair (s, t): x is frame t, y is frame t+1 — consecutive pairs chain
+    for s in (0, 2):
+        for t in range(T - 1):
+            a, b = ds[s * T + t], ds[s * T + t + 1]
+            assert a["x"].shape == (n, n, 1) and a["y"].shape == (n, n, 1)
+            np.testing.assert_array_equal(a["y"][..., 0], b["x"][..., 0])
+    # frame 0 is the IC = the inner dataset's second input channel
+    inner = NSSpacetimeDataset(str(tmp_path), **DS_KW)
+    np.testing.assert_array_equal(ds.trajectories[:, 0],
+                                  inner.x[:, 0, :, :, 1])
+    # the cache is SHARED with the space-time dataset (one npz, same params)
+    np.testing.assert_array_equal(ds.coarse_frames, inner.x[..., 0])
+
+    # guided mode: second channel is the coarse frame at the TARGET time
+    dsg = _dataset(tmp_path, guided=True)
+    s0 = dsg[5]  # s=1, t=1
+    assert s0["x"].shape == (n, n, 2)
+    np.testing.assert_array_equal(s0["x"][..., 1], dsg.coarse_frames[1, 1])
+    np.testing.assert_array_equal(s0["x"][..., 0], dsg.trajectories[1, 1])
+
+    # factory resolves the lane
+    from fast_eng_super_resolution_tpu.data.dataset import init_dataset
+
+    ds2 = init_dataset("ns_rollout", str(tmp_path), guided=True, **DS_KW)
+    assert ds2.guided and len(ds2) == S * T
+
+
+@pytest.mark.parametrize("guided", [False, True])
+def test_pred_rollout_end_to_end(tmp_path, guided, capsys):
+    """Train a few steps, then the batched scan rollout must run, write the
+    pred npz artifacts, and print the all-held-out mean line."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.grid_runner import pred_rollout, train_grid
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    ds = _dataset(tmp_path, guided=guided)
+    model = FNO2d(modes1=4, modes2=4, width=8, in_feats=2 if guided else 1)
+    exp = dict(train_samples=2 * ds.t_frames, idxs=[2], seed=0)
+    train_cfg = dict(epochs=3, batch_size=4, lr=1e-3, val_interval=1)
+    log_dir = str(tmp_path / "logs")
+    train_grid("roll", model, ds, train_cfg, exp, log_dir=log_dir)
+
+    outs = pred_rollout([2], "roll", model, ds, exp, log_dir=log_dir)
+    assert len(outs) == 1
+    with np.load(outs[0]) as z:
+        T, n = ds.t_frames, 16
+        assert z["rollout"].shape == (T, n, n)
+        assert z["pred"].shape == (n, n, 1) and z["ref"].shape == (n, n, 1)
+        assert np.isfinite(z["rollout"]).all()
+        # the npz final frame IS the last rollout frame
+        np.testing.assert_array_equal(z["pred"][..., 0], z["rollout"][-1])
+        # ref is the fine solve's final frame
+        np.testing.assert_array_equal(z["ref"][..., 0],
+                                      ds.trajectories[2, -1])
+    out = capsys.readouterr().out
+    assert "improvement" in out and "all-held-out mean" in out
+    # held-out range derived from train_samples: trajectory 2 only
+    assert "over 1 trajectories" in out
