@@ -90,3 +90,50 @@ def test_pred_rollout_end_to_end(tmp_path, guided, capsys):
     assert "improvement" in out and "all-held-out mean" in out
     # held-out range derived from train_samples: trajectory 2 only
     assert "over 1 trajectories" in out
+    if guided:
+        # guided artifacts carry the guidance sequence they consumed
+        with np.load(outs[0]) as z:
+            np.testing.assert_array_equal(z["coarse"],
+                                          ds.coarse_frames[2])
+
+
+@pytest.mark.parametrize("guided", [False, True])
+def test_rollout_stepwise_matches_scan(tmp_path, guided):
+    """The device-rollout lane (rollout_impl=stepwise — T jitted one-step
+    dispatches, the form that compiles on the relay TPU where the guided
+    scan stalls the remote compiler) must produce the same frames as the
+    scan lane, bit-for-bit on CPU."""
+    from fast_eng_super_resolution_tpu.grid_runner import pred_rollout, train_grid
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    ds = _dataset(tmp_path, guided=guided)
+    model = FNO2d(modes1=4, modes2=4, width=8, in_feats=2 if guided else 1)
+    exp = dict(train_samples=2 * ds.t_frames, idxs=[2], seed=0)
+    log_dir = str(tmp_path / "logs")
+    train_grid("roll", model, ds, dict(epochs=2, batch_size=4, lr=1e-3,
+                                       val_interval=1), exp, log_dir=log_dir)
+
+    (scan_out,) = pred_rollout([2], "roll", model, ds,
+                               {**exp, "rollout_impl": "scan"},
+                               log_dir=log_dir)
+    with np.load(scan_out) as z:
+        scan_frames = z["rollout"].copy()
+    (step_out,) = pred_rollout([2], "roll", model, ds,
+                               {**exp, "rollout_impl": "stepwise"},
+                               log_dir=log_dir)
+    with np.load(step_out) as z:
+        np.testing.assert_array_equal(z["rollout"], scan_frames)
+
+
+def test_rollout_rejects_partial_trajectory_split(tmp_path):
+    """train_samples not a multiple of t_frames would leak training frames
+    of the boundary trajectory into the held-out mean — refused."""
+    from fast_eng_super_resolution_tpu.grid_runner import pred_rollout
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    ds = _dataset(tmp_path)
+    model = FNO2d(modes1=4, modes2=4, width=8, in_feats=1)
+    with pytest.raises(ValueError, match="multiple of"):
+        pred_rollout([2], "missing", model, ds,
+                     dict(train_samples=2 * ds.t_frames + 1),
+                     log_dir=str(tmp_path / "logs"))
