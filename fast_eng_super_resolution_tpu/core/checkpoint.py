@@ -19,6 +19,7 @@ import numpy as np
 
 SEP = "/"
 _NONE_SENTINEL = "__none__"
+_META_PREFIX = "__meta__" + SEP
 
 
 def flatten_params(params: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -70,9 +71,18 @@ def unflatten_params(flat: dict[str, np.ndarray]) -> Any:
     return normalize(root)
 
 
-def save_params(path: str, params: Any) -> None:
-    """Atomically writes a params pytree as .npz."""
+def save_params(path: str, params: Any, meta: dict | None = None) -> None:
+    """Atomically writes a params pytree as .npz.
+
+    ``meta`` entries (task-spec stamping, round-4 VERDICT #4) are stored as
+    string scalars under ``__meta__/`` keys — invisible to load_params,
+    readable via load_meta.  Serving guards compare them against the
+    request's task spec to refuse resolution/config mismatches (the
+    measured 0.25x mismatched-coarse trap, BASELINE.md zero-shot row).
+    """
     flat = flatten_params(jax.device_get(params))
+    for k, v in (meta or {}).items():
+        flat[_META_PREFIX + k] = np.array(str(v))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     try:
@@ -89,12 +99,21 @@ def load_params(path: str) -> Any:
     with np.load(path) as z:
         flat = {}
         for k in z.files:
+            if k.startswith(_META_PREFIX):
+                continue
             a = z[k]
             if a.dtype.kind == "U" and a.shape == () and str(a) == _NONE_SENTINEL:
                 flat[k] = None
             else:
                 flat[k] = a
     return unflatten_params(flat)
+
+
+def load_meta(path: str) -> dict[str, str]:
+    """Reads the ``__meta__/`` stamp of a checkpoint ({} for legacy files)."""
+    with np.load(path) as z:
+        return {k[len(_META_PREFIX):]: str(z[k]) for k in z.files
+                if k.startswith(_META_PREFIX)}
 
 
 def save_tree(path: str, tree: Any, extra: dict | None = None) -> None:

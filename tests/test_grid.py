@@ -753,3 +753,57 @@ def test_fno1d_trains_on_burgers(tmp_path):
     assert np.isfinite(last)
     assert last < 0.5 * first, (first, last)
     assert np.asarray(trainer.predict(params, x)).shape == y.shape
+
+
+def test_task_spec_guard_refuses_mismatched_coarse(tmp_path, capsys):
+    """Checkpoint task-spec stamping (round-4 VERDICT #4): serving an
+    FNO3d checkpoint against a coarse input at a different downsample
+    factor must raise — the measured zero-shot trap is 0.25x (worse than
+    baseline, BASELINE.md FNO3d transfer row).  task_spec_guard: warn
+    downgrades to a warning for deliberate transfer experiments; legacy
+    stampless checkpoints always pass."""
+    import pytest
+
+    from fast_eng_super_resolution_tpu.core import checkpoint as ckpt
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        AdvectedScalar3DDataset)
+    from fast_eng_super_resolution_tpu.grid_runner import (pred_grid,
+                                                           train_grid)
+    from fast_eng_super_resolution_tpu.models.fno import FNO3d
+
+    exp = dict(train_samples=3, idxs=[3], seed=0, resolution=16,
+               downsample=2)
+    ds = AdvectedScalar3DDataset(str(tmp_path / "d2"), num_samples=4,
+                                 resolution=16, downsample=2, steps=4,
+                                 max_mode=1)
+    model = FNO3d(modes1=2, modes2=2, modes3=2, width=8, in_feats=1,
+                  padding=2)
+    log_dir = str(tmp_path / "logs")
+    train_grid("spec", model, ds, dict(epochs=2, batch_size=3, lr=1e-3,
+                                       val_interval=1), exp, log_dir=log_dir)
+    path = os.path.join(log_dir, "models", "collection_spec",
+                        "partition_0.npz")
+    meta = ckpt.load_meta(path)
+    assert meta["task"] == "AdvectedScalar3DDataset"
+    assert meta["task_resolution"] == "16" and meta["task_downsample"] == "2"
+
+    # matched spec serves fine
+    pred_grid([3], "spec", model, ds, exp, log_dir=log_dir)
+
+    # mismatched coarse grid (finer coarse input than training) refuses
+    ds4 = AdvectedScalar3DDataset(str(tmp_path / "d4"), num_samples=4,
+                                  resolution=16, downsample=4, steps=4,
+                                  max_mode=1)
+    exp4 = {**exp, "downsample": 4}
+    with pytest.raises(ValueError, match="task-spec mismatch"):
+        pred_grid([3], "spec", model, ds4, exp4, log_dir=log_dir)
+
+    # warn mode proceeds (deliberate zero-shot transfer)
+    capsys.readouterr()
+    pred_grid([3], "spec", model, ds4, {**exp4, "task_spec_guard": "warn"},
+              log_dir=log_dir)
+    assert "task-spec mismatch" in capsys.readouterr().out
+
+    # legacy checkpoint without a stamp is served unguarded
+    ckpt.save_params(path, ckpt.load_params(path))
+    pred_grid([3], "spec", model, ds4, exp4, log_dir=log_dir)
