@@ -1,0 +1,101 @@
+"""Divergence-free projection at production scale (round-4 VERDICT missing #6).
+
+The reference's pyamg smoothed-aggregation + CG path exists precisely to make
+large anisotropic Poisson solves tractable (/root/reference/dataset/
+GraphDataset.py:1852-1877); the CGNR replacement squares the condition number,
+so its behavior at the reference's target mesh sizes (500k-1M nodes) needs a
+measured datapoint, not an extrapolation from the 35k-node tests.
+
+Builds a large synthetic duct mesh, perturbs the analytic field with noise,
+and runs the DEVICE-RESIDENT projection loop (one dispatch; the host loop
+would pay ~0.5 s of tunnel latency per eager op on the relay).  Reports the
+divergence-reduction ratio and wall time.
+
+Run:  python benchmarks/projection_scale.py [--nodes 500000] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = (os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals()
+         else os.getcwd())
+sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("benchmarks") else _HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=500_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--noise", type=float, default=0.05)
+    ap.add_argument("--tolerance", type=float, default=1e-2)
+    ap.add_argument("--max-neighbors", type=int, default=None,
+                    help="cap the LSQ stencil (bounds the [N,3,K] weights)")
+    args = ap.parse_args()
+
+    from fast_eng_super_resolution_tpu.data.synthetic import (duct_field,
+                                                              make_duct_mesh)
+    from fast_eng_super_resolution_tpu.data.tensorize import cells_to_edges
+    from fast_eng_super_resolution_tpu.physics.projection import (
+        DivergenceFreeProjection)
+
+    # duct proportions 4:1:1 like the test meshes; nx*ny*nz = 4*nz^3 ~= nodes
+    nz = max(4, round((args.nodes / 4) ** (1 / 3)))
+    nx = 4 * nz
+    t0 = time.perf_counter()
+    mesh = make_duct_mesh(nx, nz, nz)
+    n = len(mesh.points)
+    v, p = duct_field(mesh.points)
+    rng = np.random.default_rng(0)
+    v = v + args.noise * rng.normal(size=v.shape).astype(np.float32)
+    edges = cells_to_edges(mesh.cells)
+    t_mesh = time.perf_counter() - t0
+    print(f"mesh: {n} nodes, {len(edges)} edges ({t_mesh:.1f}s host build)")
+
+    t0 = time.perf_counter()
+    proj = DivergenceFreeProjection(mesh.points, edges, v, p[:, 0],
+                                    max_neighbors=args.max_neighbors)
+    import jax.numpy as jnp
+
+    init = float(jnp.linalg.norm(proj.calculate_divergence()))
+    t_setup = time.perf_counter() - t0
+    print(f"setup (neighbors + LSQ weights): {t_setup:.1f}s, "
+          f"initial divergence {init:.4f}")
+
+    t0 = time.perf_counter()
+    vel, pres, final, iters = proj.apply_divergence_free_projection_device(
+        max_iterations=args.iters, tolerance=args.tolerance)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proj2 = DivergenceFreeProjection(mesh.points, edges, v, p[:, 0],
+                                     max_neighbors=args.max_neighbors)
+    proj2._device_loop = proj._device_loop  # shapes equal -> jit reuse
+    _, _, final2, _ = proj2.apply_divergence_free_projection_device(
+        max_iterations=args.iters, tolerance=args.tolerance)
+    t_warm = time.perf_counter() - t0
+
+    rec = {
+        "metric": "projection_divergence_reduction",
+        "nodes": n,
+        "edges": int(len(edges)),
+        "initial_norm": init,
+        "final_norm": final,
+        "reduction": init / max(final, 1e-30),
+        "outer_iterations": int(iters),
+        "wall_s_cold": round(t_first, 2),
+        "wall_s_warm": round(t_warm, 2),
+        "setup_s": round(t_setup, 2),
+        "backend": __import__("jax").default_backend(),
+    }
+    assert abs(final2 - final) / max(final, 1e-30) < 1e-3, (final, final2)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

