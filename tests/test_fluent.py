@@ -269,6 +269,195 @@ def test_msh_split_binary_node_sections(tmp_path):
     assert fm.face_zones[0].name == "wall:walls"
 
 
+# ---------------------------------------------------------------------------
+# HOSTILE fixtures (round-4 VERDICT #3): constructs the reference's
+# vtkFLUENTReader tolerates (/root/reference/dataset/GraphDataset.py:323-325)
+# that no writer in this repo emits — polyhedral element-type-7 cell zones,
+# multiple cell zones, mixed hex/wedge sections with nnodes-prefixed rows,
+# float64 (2010) binary nodes, binary (2013) faces, non-contiguous zone ids.
+# Bytes are assembled by hand so a shared writer/reader misunderstanding
+# cannot cancel out.
+# ---------------------------------------------------------------------------
+
+def _faces_with_adjacency(cells):
+    """(face_nodes, c0, c1) triples from ordered VTK-convention cells."""
+    from fast_eng_super_resolution_tpu.physics.wss import _CELL_FACES
+
+    d = {}
+    for ci, cell in enumerate(cells):
+        for tmpl in _CELL_FACES[len(cell)]:
+            f = tuple(int(cell[t]) for t in tmpl)
+            key = tuple(sorted(f))
+            if key in d:
+                d[key][2] = ci
+            else:
+                d[key] = [f, ci, -1]
+    return list(d.values())
+
+
+def _mixed_cube_pair():
+    """1 hex + 2 wedges tiling a 2x1x1 box (12 grid points)."""
+    pts = np.array([[i, j, k] for i in range(3) for j in range(2)
+                    for k in range(2)], np.float64)
+
+    def nid(i, j, k):
+        return (i * 2 + j) * 2 + k
+
+    hexc = [nid(0, 0, 0), nid(1, 0, 0), nid(1, 1, 0), nid(0, 1, 0),
+            nid(0, 0, 1), nid(1, 0, 1), nid(1, 1, 1), nid(0, 1, 1)]
+    a, b, c, d = nid(1, 0, 0), nid(2, 0, 0), nid(2, 1, 0), nid(1, 1, 0)
+    e, f, g, h = nid(1, 0, 1), nid(2, 0, 1), nid(2, 1, 1), nid(1, 1, 1)
+    w1 = [a, b, d, e, f, h]
+    w2 = [b, c, d, f, g, h]
+    return pts, [hexc, w1, w2]
+
+
+def _hostile_msh_bytes(pts, cells, split=None):
+    """Emits the hostile .msh: split f64-binary + ASCII nodes, two cell
+    zones (etype from node count: hex 4 / wedge 6), ASCII interior faces +
+    BINARY wall faces (both mixed, nnodes-prefixed), non-contiguous hex
+    zone ids."""
+    _ETYPE = {4: 2, 5: 5, 6: 6, 8: 4}  # nodes-per-cell -> Fluent etype
+    faces = _faces_with_adjacency(cells)
+    interior = [t for t in faces if t[2] >= 0]
+    walls = [t for t in faces if t[2] < 0]
+    n = len(pts)
+    split = split if split is not None else min(7, n - 1)
+    chunks = [b'(0 "hostile handmade fixture")\n(2 3)\n']
+    chunks.append(f"(10 (0 1 {n:x} 0 3))\n".encode())
+    chunks.append(f"(2010 (7 1 {split:x} 1 3)(".encode())
+    chunks.append(np.ascontiguousarray(pts[:split], np.float64).tobytes())
+    chunks.append(b")\nEnd of Binary Section 2010)\n")
+    coord_lines = "\n".join(" ".join(f"{v:.9e}" for v in p)
+                            for p in pts[split:])
+    chunks.append(
+        f"(10 (b {split + 1:x} {n:x} 1 3)(\n{coord_lines}\n))\n".encode())
+    # two cell zones, non-contiguous ids, etypes from the cell node counts
+    chunks.append(f"(12 (0 1 {len(cells):x} 0))\n".encode())
+    chunks.append(f"(12 (1f 1 1 1 {_ETYPE[len(cells[0])]:x}))\n".encode())
+    chunks.append(f"(12 (2e 2 {len(cells):x} 1 "
+                  f"{_ETYPE[len(cells[-1])]:x}))\n".encode())
+    # interior zone: ASCII, mixed ftype 0 => nnodes-prefixed rows
+    rows = []
+    for fnodes, c0, c1 in interior:
+        toks = ([f"{len(fnodes):x}"] + [f"{v + 1:x}" for v in fnodes]
+                + [f"{c0 + 1:x}", f"{c1 + 1:x}"])
+        rows.append(" ".join(toks))
+    chunks.append(
+        f"(13 (9 1 {len(interior):x} 2 0)(\n" .encode()
+        + "\n".join(rows).encode() + b"\n))\n")
+    # wall zone: BINARY int32, mixed rows, id 0xa2
+    ints = []
+    for fnodes, c0, c1 in walls:
+        ints.append(len(fnodes))
+        ints.extend(v + 1 for v in fnodes)
+        ints.extend((c0 + 1, c1 + 1))
+    first, last = len(interior) + 1, len(interior) + len(walls)
+    chunks.append(f"(2013 (a2 {first:x} {last:x} 3 0)(".encode())
+    chunks.append(np.asarray(ints, np.int32).tobytes())
+    chunks.append(b")\nEnd of Binary Section 2013)\n")
+    chunks.append(b"(39 (9 interior default-interior)())\n")
+    chunks.append(b"(45 (162 wall walls)())\n")
+    return b"".join(chunks), interior, walls
+
+
+def test_hostile_msh_mixed_binary_multizone(tmp_path):
+    """Mixed hex/wedge mesh, 2 cell zones, split f64-binary+ASCII nodes,
+    binary mixed faces, non-contiguous zone ids — parsed with exact
+    node/cell/edge counts."""
+    from fast_eng_super_resolution_tpu.data.fluent_msh import read_msh
+    from fast_eng_super_resolution_tpu.data.tensorize import cells_to_edges
+
+    pts, cells = _mixed_cube_pair()
+    blob, interior, walls = _hostile_msh_bytes(pts, cells)
+    path = str(tmp_path / "hostile.msh")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    fm = read_msh(path)
+    np.testing.assert_allclose(fm.points, pts, rtol=1e-6)
+    assert fm.num_cells == 3
+    got_sets = [set(s.tolist()) for s in fm.cell_point_sets()]
+    assert got_sets == [set(c) for c in cells]
+    names = {z.zone_id: z.name for z in fm.face_zones}
+    assert names[9] == "interior:default-interior"
+    assert names[162] == "wall:walls"
+    wall_zone = [z for z in fm.face_zones if z.zone_id == 162][0]
+    assert wall_zone.bc_type == 3
+    assert sorted(len(np.asarray(f)) for f in wall_zone.face_nodes) \
+        == sorted(len(f[0]) for f in walls)       # mixed tri+quad rows
+    expected_edges = cells_to_edges([np.asarray(c) for c in cells])
+    np.testing.assert_array_equal(fm.edges(), expected_edges)
+
+
+def test_hostile_msh_polyhedral_zone(tmp_path):
+    """Element-type-7 (polyhedral) cell zone: cells exist only through their
+    faces — hexagon + quad mixed rows; WSS wall surface comes straight from
+    the zones (no cell array ever materializes)."""
+    from fast_eng_super_resolution_tpu.data.fluent_msh import read_msh
+    from fast_eng_super_resolution_tpu.physics.wss import (
+        point_normals, wall_surface_from_fluent)
+
+    ang = np.arange(6) * np.pi / 3
+    ring = np.stack([np.cos(ang), np.sin(ang)], 1)
+    layers = 2
+    pts = np.concatenate(
+        [np.concatenate([ring, np.full((6, 1), 0.5 * m)], 1)
+         for m in range(layers + 1)])
+    hexf = [list(range(6 * m, 6 * m + 6)) for m in range(layers + 1)]
+    quads = []
+    for m in range(layers):
+        for i in range(6):
+            j = (i + 1) % 6
+            quads.append(([6 * m + i, 6 * m + j, 6 * (m + 1) + j,
+                           6 * (m + 1) + i], m))
+
+    def face_rows(items):
+        rows = []
+        for fnodes, c0, c1 in items:
+            toks = ([f"{len(fnodes):x}"] + [f"{v + 1:x}" for v in fnodes]
+                    + [f"{c0 + 1:x}", f"{c1 + 1:x}"])
+            rows.append(" ".join(toks))
+        return "\n".join(rows)
+
+    n = len(pts)
+    coord_lines = "\n".join(" ".join(f"{v:.9e}" for v in p) for p in pts)
+    txt = [
+        '(0 "polyhedral fixture")', "(2 3)",
+        f"(10 (0 1 {n:x} 0 3))",
+        f"(10 (4 1 {n:x} 1 3)(\n{coord_lines}\n))",
+        f"(12 (0 1 {layers:x} 0))",
+        f"(12 (c 1 {layers:x} 1 7))",            # etype 7: polyhedral
+        # interior hexagon between the two cells
+        "(13 (7 1 1 2 0)(\n" + face_rows([(hexf[1], 0, 1)]) + "\n))",
+        # caps: bottom+top hexagons, walls: 12 side quads
+        f"(13 (2a 2 3 3 0)(\n"
+        + face_rows([(hexf[0], 0, -1), (hexf[layers], layers - 1, -1)])
+        + "\n))",
+        f"(13 (15 4 {3 + len(quads):x} 3 0)(\n"
+        + face_rows([(q, c, -1) for q, c in quads]) + "\n))",
+        "(45 (12 fluid fluid-zone)())",
+        "(45 (7 interior default-interior)())",
+        "(45 (42 wall caps)())",
+        "(45 (21 wall walls)())",
+    ]
+    path = str(tmp_path / "poly.msh")
+    with open(path, "w") as fh:
+        fh.write("\n".join(txt) + "\n")
+    fm = read_msh(path)
+    assert fm.num_cells == layers
+    np.testing.assert_allclose(fm.points, pts, rtol=1e-6)
+    sets = [set(s.tolist()) for s in fm.cell_point_sets()]
+    assert sets == [set(range(12)), set(range(6, 18))]
+    surface = wall_surface_from_fluent(fm)
+    assert sorted(len(f) for f in surface) == [4] * 12 + [6, 6]
+    surf_ids, normals = point_normals(fm.points.astype(np.float64), surface)
+    assert len(surf_ids) == n                   # every node is on the wall
+    # outward: positive dot with position relative to the stack's center
+    center = np.array([0, 0, 0.5])
+    out = np.einsum("sd,sd->s", normals, fm.points[surf_ids] - center)
+    assert (out > 0).all()
+
+
 def test_msh_roundtrip_face_zone_id_2(tmp_path):
     """A FACE zone with id 2 must keep its name through write+read: the
     writer's cell-zone (45) entry previously hard-coded id 2 and overwrote
