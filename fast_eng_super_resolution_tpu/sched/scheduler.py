@@ -115,6 +115,14 @@ class PartitionScheduler:
         for i in range(self.num_partitions):
             npz, pth = self._ckpt_path(i), self._pth_path(i)
             if os.path.exists(npz):
+                meta = ckpt.load_meta(npz)
+                if meta.get("model") not in (None, type(self.model).__name__):
+                    # architecture mismatches beyond the class (width/rank)
+                    # already fail on param shapes; the class itself would
+                    # silently apply the wrong operator
+                    print(f"WARNING: checkpoint {npz} was trained as "
+                          f"{meta['model']} but is being served as "
+                          f"{type(self.model).__name__}")
                 params_list.append(ckpt.load_params(npz))
             elif os.path.exists(pth):
                 params_list.append(self.model.import_pth(ckpt.load_pth_state_dict(pth)))
@@ -123,9 +131,27 @@ class PartitionScheduler:
                     f"no checkpoint for partition {i}: tried {npz} and {pth}")
         return params_list
 
+    def _model_spec(self) -> dict:
+        """Model identity stamped into graph checkpoints (round-4 VERDICT
+        #4): class + scalar config fields.  Grid checkpoints additionally
+        stamp the task resolution (grid_runner._task_spec); graph models
+        are resolution-general by design, so only the architecture is
+        serve-relevant here."""
+        import dataclasses
+
+        spec = {"model": type(self.model).__name__}
+        try:
+            for f in dataclasses.fields(self.model):
+                v = getattr(self.model, f.name)
+                if isinstance(v, (int, float, str, bool, type(None))):
+                    spec[f"cfg_{f.name}"] = str(v)
+        except TypeError:
+            pass
+        return spec
+
     def _save_model(self, i: int, params, export_pth: bool = True):
         os.makedirs(self.collection_dir(), exist_ok=True)
-        ckpt.save_params(self._ckpt_path(i), params)
+        ckpt.save_params(self._ckpt_path(i), params, meta=self._model_spec())
         if export_pth and hasattr(self.model, "export_pth"):
             try:
                 ckpt.save_pth_state_dict(self._pth_path(i),
@@ -222,6 +248,66 @@ class PartitionScheduler:
                         jax.tree_util.tree_map(lambda _: P("data"), ops)),
                     out_specs=P("data"), **{no_check_kw: False})
                 return mapped(params, x_st, ops)
+
+            fn = cache[key] = jax.jit(fwd)
+        return fn
+
+    def _fused_mc_full_fn(self, infer_model, rows_blk: int, blk: int,
+                          per: int, n: int, num_nodes: int, interpret: bool):
+        """Multi-chip ``predict_full``: fused forward AND exact segment-mean
+        reconstruction in ONE program (round-4 VERDICT missing #5).
+
+        shard_map over 'data': each device applies the fused conv to its own
+        merged group and segment-sums its partial (pred*w, ref*w, w)
+        accumulators over GLOBAL node ids; psum over the axis completes the
+        overlap average exactly — the cross-device form of _serve_body's
+        reconstruction (GraphDataset.py:1371-1400 duplicate-point averaging).
+        Output is replicated (every chip holds the full mesh).  Certified
+        per-round by the dryrun's predict_full-under-shard_map phase.
+        """
+        key = ("mc_full", infer_model, rows_blk, blk, per, n, num_nodes,
+               interpret)
+        cache = getattr(self, "_fused_mc_jits", None)
+        if cache is None:
+            cache = self._fused_mc_jits = {}
+        fn = cache.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.train import _import_shard_map
+
+            shard_map, no_check_kw = _import_shard_map()
+            mesh = self.mesh
+
+            def local(params, x_st, ym_st, ops, gid_st, w_st):
+                pred = infer_model.apply_fused(
+                    params, x_st[0], ops["edge_attr"][0], ops["sp"][0],
+                    ops["s"][0], rows_blk=rows_blk, blk=blk,
+                    interpret=interpret)
+                gid, w, ym = gid_st[0], w_st[0], ym_st[0]
+                wc = w[:, None]
+                accp = jax.ops.segment_sum(pred * wc, gid,
+                                           num_segments=num_nodes + 1)
+                accr = jax.ops.segment_sum(ym * wc, gid,
+                                           num_segments=num_nodes + 1)
+                ws = jax.ops.segment_sum(w, gid, num_segments=num_nodes + 1)
+                accp = jax.lax.psum(accp, "data")
+                accr = jax.lax.psum(accr, "data")
+                ws = jnp.maximum(jax.lax.psum(ws, "data"), 1e-30)
+                pred_o = accp[:num_nodes] / ws[:num_nodes, None]
+                ref_o = accr[:num_nodes] / ws[:num_nodes, None]
+                return jnp.stack([pred_o, ref_o])
+
+            def fwd(params, x_st, ym_st, ops, gid_st, w_st):
+                mapped = shard_map(
+                    local, mesh=mesh,
+                    in_specs=(
+                        jax.tree_util.tree_map(lambda _: P(), params),
+                        P("data"), P("data"),
+                        jax.tree_util.tree_map(lambda _: P("data"), ops),
+                        P("data"), P("data")),
+                    out_specs=P(), **{no_check_kw: False})
+                return mapped(params, x_st, ym_st, ops, gid_st, w_st)
 
             fn = cache[key] = jax.jit(fwd)
         return fn
