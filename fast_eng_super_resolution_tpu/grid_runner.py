@@ -20,11 +20,38 @@ snapshots).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
 
 from .utils.logging import MetricLogger, span
+
+
+@functools.lru_cache(maxsize=8)
+def _stepwise_jits(model, guided: bool):
+    """Cached jits for the stepwise rollout lane, keyed by the frozen model
+    config — constructing jax.jit inside the request path costs two
+    re-traces per call (the round-3 serving lesson; measured 8.9 s vs
+    ~1.5 s warm for a 32-trajectory eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.common import linear
+
+    def apply_full(p, x):
+        out = model.apply(p["model"], x)
+        if "proj" in p:
+            out = linear(p["proj"], out)
+        return out
+
+    step = jax.jit(
+        lambda p_, f_, c_: apply_full(
+            p_,
+            jnp.concatenate([f_[..., None], c_[..., None]], axis=-1)
+            if guided else f_[..., None])[..., 0])
+    stack = jax.jit(lambda *fs: jnp.stack(fs))
+    return step, stack
 
 
 def _collection_path(log_dir: str, exp_name: str) -> str:
@@ -307,23 +334,20 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
         # Device rollout for the relay TPU (round 4, VERDICT missing #1):
         # the T-step lax.scan over the guided stepper stalls the remote
         # Mosaic/XLA compile >10 min, so compose the horizon HOST-side from
-        # ONE jitted step (the same program as a one-shot predict, which
-        # compiles in the normal ~20-40 s).  All buffers stay device-
-        # resident; cost is T dispatches (~35 ms tunnel RTT each) + one
-        # stacked fetch — ~0.6 s/batch at T=16, vs an un-compilable scan.
-        step = jax.jit(
-            lambda p_, f_, cs_, t_: apply_full(
-                p_,
-                jnp.concatenate(
-                    [f_[..., None],
-                     jax.lax.dynamic_index_in_dim(
-                         cs_, t_, 0, keepdims=False)[..., None]],
-                    axis=-1) if guided else f_[..., None])[..., 0])
+        # ONE jitted step (the same program shape as a one-shot predict,
+        # which compiles in the normal ~20-40 s).  The carried frame stays
+        # device-resident; each step's coarse guidance frame is passed as a
+        # HOST argument (uploads ride the dispatch; a device-side
+        # dynamic_index_in_dim over the [T, B, n, n] stack also stalled the
+        # remote compile — measured this round).  Cost: T dispatches
+        # (~35-40 ms tunnel RTT each) + one stacked fetch.
+        coarse_h = np.asarray(coarse_seq)
+        step, stack = _stepwise_jits(model, guided)
         f, outs = frame0, []
-        for t in range(coarse_seq.shape[0]):
-            f = step(p, f, coarse_seq, np.int32(t))
+        for t in range(coarse_h.shape[0]):
+            f = step(p, f, coarse_h[t])
             outs.append(f)
-        return jax.jit(lambda *fs: jnp.stack(fs))(*outs)  # [T, B, n, n]
+        return stack(*outs)  # [T, B, n, n]
 
     impl = str(exp_config.get("rollout_impl", "auto"))
     if impl == "auto":
