@@ -605,6 +605,9 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "ns_rollout":
         from .grid_dataset import NSRolloutDataset
         return NSRolloutDataset(root=root, **kwargs)
+    elif name == "mat_grid":
+        from .mat_dataset import MatGridDataset
+        return MatGridDataset(root=root, **kwargs)
     elif name == "burgers_grid":
         from .grid_dataset import BurgersDataset
         return BurgersDataset(root=root, **kwargs)
