@@ -26,7 +26,10 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 N_GRAPHS = 8
-WIDTH = 48
+# FESR_BENCH_WIDTH: off-default probe knob (w=64 is the lane-aligned
+# efficiency point, CLAUDE.md width guidance); the driver contract runs
+# the default w=48 (the reference's shipped-config class)
+WIDTH = int(os.environ.get("FESR_BENCH_WIDTH", 48))
 DEPTH = 5
 REPEATS = 5
 SMALL = os.environ.get("FESR_BENCH_SCALE") == "small"
