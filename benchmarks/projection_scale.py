@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--tolerance", type=float, default=1e-2)
     ap.add_argument("--max-neighbors", type=int, default=None,
                     help="cap the LSQ stencil (bounds the [N,3,K] weights)")
+    ap.add_argument("--cg-maxiter", type=int, default=None,
+                    help="inner CGNR bound per outer iteration (default: "
+                         "200 below 200k nodes, 50 above — one outer "
+                         "iteration must fit the relay's per-dispatch "
+                         "execution limit)")
     args = ap.parse_args()
 
     from fast_eng_super_resolution_tpu.data.synthetic import (duct_field,
@@ -68,16 +73,20 @@ def main():
     print(f"setup (neighbors + LSQ weights): {t_setup:.1f}s, "
           f"initial divergence {init:.4f}")
 
+    cg_maxiter = args.cg_maxiter if args.cg_maxiter is not None else (
+        200 if n < 200_000 else 50)
     t0 = time.perf_counter()
     vel, pres, final, iters = proj.apply_divergence_free_projection_device(
-        max_iterations=args.iters, tolerance=args.tolerance)
+        max_iterations=args.iters, tolerance=args.tolerance,
+        cg_maxiter=cg_maxiter)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     proj2 = DivergenceFreeProjection(mesh.points, edges, v, p[:, 0],
                                      max_neighbors=args.max_neighbors)
     proj2._device_loop = proj._device_loop  # shapes equal -> jit reuse
     _, _, final2, _ = proj2.apply_divergence_free_projection_device(
-        max_iterations=args.iters, tolerance=args.tolerance)
+        max_iterations=args.iters, tolerance=args.tolerance,
+        cg_maxiter=cg_maxiter)
     t_warm = time.perf_counter() - t0
 
     rec = {
@@ -92,6 +101,7 @@ def main():
         "wall_s_warm": round(t_warm, 2),
         "setup_s": round(t_setup, 2),
         "backend": __import__("jax").default_backend(),
+        "cg_maxiter": cg_maxiter,
     }
     assert abs(final2 - final) / max(final, 1e-30) < 1e-3, (final, final2)
     print(json.dumps(rec))

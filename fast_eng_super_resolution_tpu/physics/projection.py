@@ -125,8 +125,10 @@ class DivergenceFreeProjection:
         return solve_pressure_adaptive(self.matvec, self.diag, divergence)
 
     def apply_divergence_free_projection_device(self, max_iterations: int = 10,
-                                                tolerance: float = 1e-1):
-        """Device-resident outer loop: ONE dispatch, one final fetch.
+                                                tolerance: float = 1e-1,
+                                                segment_budget_s: float = 45.0,
+                                                cg_maxiter: int = 200):
+        """Device-resident outer loop in bounded segments.
 
         The host loop below does a ``float()`` sync per iteration — ~0.5 s
         per eager op over the axon tunnel, so 20 iterations of ``--smooth``
@@ -137,25 +139,44 @@ class DivergenceFreeProjection:
         no-op step the rollback absorbs; the host path keeps the full
         reference fallback hierarchy for parity).  Returns the same
         (velocity, pressure, final_norm, iterations) tuple.
+
+        Segmentation (measured, round 4): the relay KILLS single device
+        executions past a few minutes ("TPU worker crashed") — a 100k-node
+        20-iteration loop in one dispatch dies, 3 iterations (~34 s) run
+        fine.  So the loop executes in segments of outer iterations with
+        state carried device-side; the first segment runs one iteration and
+        its measured wall time sizes the rest against
+        ``segment_budget_s``.  Cost per segment boundary: one scalar fetch.
+        ``cg_maxiter`` bounds the inner CGNR per OUTER iteration — at
+        >=300k nodes even one outer iteration at the default 200 exceeds
+        the relay's limit; 50-100 keeps each dispatch under it (the outer
+        loop compensates with more, cheaper iterations).
         """
         if self._device_loop is None:
+            self._device_loop = {}
+        if cg_maxiter not in self._device_loop:
             a = self.consistent_matvec
 
             def cgnr(divergence):
                 at = jax.linear_transpose(a, divergence)
                 p, _ = jax.scipy.sparse.linalg.cg(
                     lambda q: at(a(q))[0], at(divergence)[0], tol=1e-5,
-                    maxiter=200)
+                    maxiter=cg_maxiter)
                 return jnp.where(jnp.isfinite(p).all(), p,
                                  jnp.zeros_like(p))
 
-            def run(original, pressure0, max_iter, tol):
+            def init_fn(original, pressure0, tol):
                 div0 = self.calculate_divergence(original)
                 initial_norm = jnp.linalg.norm(div0)
+                state = (jnp.int32(0), original, div0, original,
+                         jnp.zeros_like(pressure0), initial_norm,
+                         jnp.float32(1.0), initial_norm < tol)
+                return state, initial_norm
 
+            def seg_fn(state, initial_norm, it_end, tol):
                 def cond(s):
                     it, _, _, _, _, _, _, stop = s
-                    return (it < max_iter) & ~stop
+                    return (it < it_end) & ~stop
 
                 def body(s):
                     (it, current, div, best_v, best_p, best_norm, alpha,
@@ -186,12 +207,10 @@ class DivergenceFreeProjection:
                     return (it + 1, current_new, div_new, best_v_new,
                             best_p_new, best_norm_new, alpha_new, stop)
 
-                init = (jnp.int32(0), original, div0, original,
-                        jnp.zeros_like(pressure0), initial_norm,
-                        jnp.float32(1.0), initial_norm < tol)
-                it, _, _, best_v, best_p, best_norm, _, _ = \
-                    jax.lax.while_loop(cond, body, init)
+                return jax.lax.while_loop(cond, body, state)
 
+            def final_fn(state, original, initial_norm):
+                it, _, _, best_v, best_p, best_norm, _, _ = state
                 # safety nets (:2029-2039), still on device
                 regressed = best_norm >= initial_norm
                 blended = original * 0.98 + best_v * 0.02
@@ -205,14 +224,35 @@ class DivergenceFreeProjection:
                     jnp.where(regressed, initial_norm, best_norm))
                 return out_v, best_p, out_norm, it
 
-            self._device_loop = jax.jit(run, static_argnums=(2,))
+            self._device_loop[cg_maxiter] = (jax.jit(init_fn),
+                                             jax.jit(seg_fn),
+                                             jax.jit(final_fn))
 
-        v, p, final, iters = self._device_loop(
-            self.velocity, self.pressure, int(max_iterations),
-            jnp.float32(tolerance))
-        v, final, iters = jax.device_get((v, final, iters))  # one host sync
+        import time as _time
+
+        init_jit, seg_jit, final_jit = self._device_loop[cg_maxiter]
+        original = self.velocity
+        tol = jnp.float32(tolerance)
+        state, initial_norm = init_jit(original, self.pressure, tol)
+        it = 0
+        seg = 1  # first segment measures per-iteration wall time
+        while it < max_iterations:
+            it_end = min(it + seg, max_iterations)
+            t0 = _time.perf_counter()
+            state = seg_fn_out = seg_jit(state, initial_norm,
+                                         jnp.int32(it_end), tol)
+            # one tiny scalar fetch per segment boundary: iteration count
+            # + stop flag (the loop may halt early inside the segment)
+            it, stop = (int(seg_fn_out[0]), bool(seg_fn_out[7]))
+            dt = _time.perf_counter() - t0
+            if stop:
+                break
+            per_iter = max(dt / max(seg, 1), 1e-3)
+            seg = int(np.clip(segment_budget_s / per_iter, 1, 16))
+        v, p, final, _ = final_jit(state, original, initial_norm)
+        v, final = jax.device_get((v, final))
         self.velocity = jnp.asarray(v)
-        return self.velocity, p, float(final), int(iters)
+        return self.velocity, p, float(final), it
 
     def apply_divergence_free_projection(self, max_iterations: int = 10,
                                          tolerance: float = 1e-1, verbose=False):
