@@ -71,12 +71,57 @@ def grid_main(args):
               f"min {ts[0] * 1e3:.0f} ms", flush=True)
 
 
+def rollout_main(args):
+    """Autoregressive-rollout serving: warm per-trajectory latency.
+
+    One request = compose the trained one-step FNO2d over T=16 frames for
+    ONE trajectory (rollout_impl=stepwise — 16 one-step dispatches with
+    device-carried state, grid_runner._stepwise_jits).  On the relay the
+    floor is ~T x tunnel RTT; the guidance frames upload per step."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.grid_runner import _stepwise_jits
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+    from fast_eng_super_resolution_tpu.parallel.grid_train import GridTrainer
+
+    rng = np.random.default_rng(0)
+    n, T = 64, 16
+    for guided in (True, False):
+        model = FNO2d(modes1=12, modes2=12, width=16,
+                      in_feats=2 if guided else 1)
+        tr = GridTrainer(model, lr=0.0, out_channels=1)
+        x0 = rng.normal(size=(1, n, n, 2 if guided else 1)).astype(np.float32)
+        params, _ = tr.init(jax.random.PRNGKey(0), x0)
+        step, stack = _stepwise_jits(model, guided)
+
+        def one_request(seed):
+            r = np.random.default_rng(seed)
+            f = jnp.asarray(r.normal(size=(1, n, n)).astype(np.float32))
+            coarse = r.normal(size=(T, 1, n, n)).astype(np.float32)
+            for t in range(T):
+                f = step(params, f, coarse[t])
+            return np.asarray(stack(f))  # fetch forces execution
+
+        one_request(0)  # compile + warm
+        ts = sorted(_time(lambda s=s: one_request(s))
+                    for s in range(1, args.requests + 1))
+        mode = "guided" if guided else "pure"
+        print(f"rollout[{mode}] 64^2 x {T} steps: "
+              f"p50 {ts[len(ts) // 2] * 1e3:.0f} ms  "
+              f"min {ts[0] * 1e3:.0f} ms/trajectory", flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--grid", action="store_true",
                         help="measure the grid-family lane (FNO2d/FNO3d "
                              "warm per-volume predict) instead of the mesh "
                              "scheduler paths")
+    parser.add_argument("--rollout", action="store_true",
+                        help="measure the autoregressive-rollout lane "
+                             "(one-step FNO2d composed over 16 frames, "
+                             "stepwise dispatches) per-trajectory")
     parser.add_argument("--requests", type=int, default=10)
     parser.add_argument("--width", type=int, default=48)
     parser.add_argument("--depth", type=int, default=4)
@@ -98,6 +143,8 @@ def main():
     args = parser.parse_args()
     if args.grid:
         return grid_main(args)
+    if args.rollout:
+        return rollout_main(args)
 
     from fast_eng_super_resolution_tpu.data.dataset import SyntheticDataset
     from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
