@@ -646,9 +646,6 @@ class PartitionScheduler:
             ("fused predict disabled (FESR_FUSED_PREDICT=0)",
              fused_env != "0"),
             ("no trained params loaded", hasattr(self, "params_list")),
-            ("multi-device mesh (one-dispatch lanes are single-device; "
-             "multi-chip serves through predict's shard_map path)",
-             self._single_device()),
             ("backend is not TPU (FESR_FUSED_PREDICT=force to override)",
              jax.default_backend() in ("tpu", "axon") or fused_env == "force"),
             ("request lacks global_node_ids (no device reconstruction)",
@@ -659,6 +656,17 @@ class PartitionScheduler:
         for reason, ok in checks:
             if not ok:
                 return "general", reason
+        if not self._single_device():
+            # multi-chip one-program lane (round 4): fused forward +
+            # psum-completed reconstruction under shard_map; single-expert
+            # only (the routed stacked apply stays on the general path)
+            if (self.num_partitions == 1
+                    and hasattr(self.model, "apply_fused")
+                    and getattr(self.model, "fused_ok", True)):
+                n_dev = int(self.mesh.devices.size)
+                return "fast_mc", f"{n_dev}-device fused shard_map lane"
+            return "general", ("multi-device mesh: routed/non-fused "
+                               "requests serve through predict")
         if self.num_partitions > 1:
             return "routed", f"{self.num_partitions} experts, routed lane"
         if not (hasattr(self.model, "apply_fused")
@@ -685,6 +693,12 @@ class PartitionScheduler:
         self._note_lane(lane, reason)
         if lane == "general":
             return None
+        if lane == "fast_mc":
+            out = self._predict_full_multichip(x, num_nodes, fused_env)
+            if out is None:
+                self._note_lane("general",
+                                "multi-chip lane demoted (edge budget)")
+            return out
         if lane == "routed":
             # routed serving lane (round 3): the stacked-expert vmapped
             # apply takes labels as DATA, so one program covers every
@@ -740,6 +754,88 @@ class PartitionScheduler:
         if isinstance(out, tuple):  # pred/ref channel counts differ
             return np.asarray(out[0]), np.asarray(out[1])
         o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
+        return o[0], o[1]
+
+    def _predict_full_multichip(self, x: list[dict], num_nodes: int,
+                                fused_env: str):
+        """Multi-chip one-program serving (round 4, VERDICT missing #5):
+        fused forward on each device's merged subdomain group + exact
+        overlap-average reconstruction completed by psum, in ONE program
+        (``_fused_mc_full_fn`` — the same program the dryrun certifies).
+
+        Geometry operands cache by raw-mesh hash like the single-device
+        lane; per-request work is host payload packing + one dispatch + one
+        fetch.  Reference analog: the mp.Process inference scatter +
+        host-side merge (scheduler_gnn.py:253-291, 313-347) collapsed into
+        one SPMD program."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import pad_batch_to_multiple
+        from ..parallel.train import make_fused_shard_batches
+
+        n_dev = int(self.mesh.devices.size)
+        interp = fused_env == "force" and jax.default_backend() not in (
+            "tpu", "axon")
+        raw = [_as_raw_graph(d) for d in x]
+        spec = BucketSpec()
+        b = len(raw)
+        n_pad, e_pad = spec.bucket_for(
+            max(g["x"].shape[0] for g in raw),
+            max(g["senders"].shape[0] for g in raw))
+        budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
+        if b * e_pad > budget * n_dev:  # per-device budget
+            return None
+        y0 = raw[0]["y"]
+        c_out = y0.shape[1] if y0 is not None else raw[0]["x"].shape[1]
+        if getattr(self.model, "out_width", c_out) != c_out:
+            return None  # stacked [2, N, C] output needs pred/ref same C
+
+        import dataclasses as _dc
+        infer_model = self.model
+        if hasattr(self.model, "edges_sorted"):
+            infer_model = _dc.replace(self.model, edges_sorted=True)
+
+        key = ("mcfull", self._hash_geometry(raw, with_gids=True),
+               num_nodes, b, n_pad, e_pad, n_dev)
+        entry = self._fused_cache.get(key)
+        if entry is None:
+            (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
+            if rest:
+                return None
+            batch, _ = pad_batch_to_multiple(batch, n_dev)
+            b_padded = batch.x.shape[0]
+            host_batch = jax.tree_util.tree_map(np.asarray, batch)
+            batchd, rb, bk = make_fused_shard_batches(
+                host_batch, infer_model, n_dev, with_graph=True)
+            graph_st = batchd["graph"]
+            gids = np.asarray(graph_st.global_ids)
+            nm = np.asarray(graph_st.node_mask)
+            gid_dump = np.where((nm > 0) & (gids >= 0), gids,
+                                np.int64(num_nodes)).astype(np.int32)
+            shd = NamedSharding(self.mesh, P("data"))
+            ops = {
+                "edge_attr": jax.device_put(batchd["fused"]["edge_attr"],
+                                            shd),
+                "sp": jax.device_put(
+                    batchd["fused"]["aux"]["senders_perm"], shd),
+                "s": jax.device_put(batchd["fused"]["s"], shd),
+            }
+            gid_j = jax.device_put(gid_dump, shd)
+            w_j = jax.device_put(nm.astype(np.float32), shd)
+            entry = self._cache_put(
+                key, (ops, gid_j, w_j, rb, bk, b_padded),
+                sum(int(a.size) * 4 for a in ops.values())
+                + int(gid_dump.size) * 8)
+        ops, gid_j, w_j, rb, bk, b_padded = entry[0]
+        per = b_padded // n_dev
+        xm, ym = self._pack_full_payload(raw, b_padded, n_pad)
+        c_in, c_out = xm.shape[1], ym.shape[1]
+        x_st = xm.reshape(n_dev, per * n_pad, c_in)
+        ym_st = ym.reshape(n_dev, per * n_pad, c_out)
+        out = self._fused_mc_full_fn(infer_model, rb, bk, per, n_pad,
+                                     num_nodes, interp)(
+            self.params_list[0], x_st, ym_st, ops, gid_j, w_j)
+        o = np.asarray(out)  # [2, num_nodes, C] — one fetch
         return o[0], o[1]
 
     def _full_cache_entry(self, raw, num_nodes: int, infer_model,

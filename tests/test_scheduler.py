@@ -824,3 +824,48 @@ def test_lane_selection_matrix(synth, tmp_path_factory, monkeypatch):
     with redirect_stdout(buf):
         sched.predict_full(x, n)
     assert "serving lane: fast" in buf.getvalue()
+
+
+def test_predict_full_multichip_lane(synth, tmp_path_factory, monkeypatch):
+    """Multi-chip predict_full (round 4): fused forward + psum-completed
+    reconstruction in ONE shard_map program must match predict + host
+    overlap_average on the virtual 8-device mesh."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    log_dir = str(tmp_path_factory.mktemp("logs_mc"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("mc_full", 1, synth, model, train=True,
+                               log_dir=log_dir, use_mesh=True)
+    sched.train(dict(epochs=1, batch_size=16, lr=1e-3, step_size=30,
+                     gamma=0.1, log_interval=10, val_interval=1))
+    assert sched.mesh is not None and sched.mesh.devices.size > 1
+    x = synth.get_one_full_sample(0)
+    full = synth.full_mesh(0)
+    n = len(full["points"])
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    got = sched.predict_full(x, n)
+    assert got is not None
+    assert sched.last_lane[0] == "fast_mc", sched.last_lane
+    pred_mc, ref_mc = got
+    assert pred_mc.shape == (n, 4) and np.isfinite(pred_mc).all()
+
+    p_list, r_list, _, _ = sched.predict(x)
+    gids = [d["global_node_ids"] for d in x]
+    pred_ref = overlap_average([np.asarray(p) for p in p_list], gids, n)
+    ref_ref = overlap_average([np.asarray(r) for r in r_list], gids, n)
+    scale = np.abs(pred_ref).max() + 1e-9
+    assert np.abs(pred_mc - pred_ref).max() / scale < 2e-2  # fused-kernel tol
+    np.testing.assert_allclose(ref_mc, ref_ref, rtol=1e-5, atol=1e-6)
+
+    # warm second request hits the operand cache, identical result
+    pred_mc2, _ = sched.predict_full(x, n)
+    np.testing.assert_array_equal(pred_mc, pred_mc2)
