@@ -60,6 +60,8 @@ class FluentMesh:
                 keep = rep >= 0
                 pairs_cell.append(rep[keep])
                 pairs_node.append(flat[keep])
+        if not pairs_cell:
+            return []
         cell_ids = np.concatenate(pairs_cell)
         node_ids = np.concatenate(pairs_node)
         pairs = np.unique(np.stack([cell_ids, node_ids], axis=1), axis=0)

@@ -65,14 +65,21 @@ def load_mat_arrays(path: str, keys: list[str]) -> dict[str, np.ndarray]:
 
 
 def _upsample_clamped(coarse: np.ndarray, n: int, factor: int) -> np.ndarray:
-    """Bilinear (linear in 1D) upsample of a subsampled field back to ``n``
-    points, cell-centered with clamped (non-periodic) edges — the same
-    query the self-generated Darcy task uses (grid_dataset.darcy_pair)."""
+    """Bilinear (linear in 1D) upsample of a POINT-SUBSAMPLED field back to
+    ``n`` points with clamped (non-periodic) edges.
+
+    The coarse channel here is ``fine[::factor]`` — coarse sample j sits
+    exactly at fine index j*factor, so the aligned query is
+    ``q = i / factor`` (exact at the subsample points: up[j*factor] ==
+    coarse[j]).  darcy_pair's cell-centered query ``(i-(factor-1)/2)/factor``
+    is correct there because its coarse field is an independent cell-centered
+    solve; using it on a point subsample shifts the interpolant by
+    (factor-1)/2 fine pixels and inflates the baseline MSE (round-4 advisor
+    finding)."""
     from .grid_dataset import _bilinear_sample
 
     m = coarse.shape[0]
-    q = (np.arange(n) - (factor - 1) / 2.0) / factor
-    q = np.clip(q, 0.0, m - 1.0)
+    q = np.clip(np.arange(n) / factor, 0.0, m - 1.0)
     if coarse.ndim == 1:
         i0 = np.floor(q).astype(np.int64)
         i1 = np.minimum(i0 + 1, m - 1)

@@ -340,12 +340,14 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
         # HOST argument (uploads ride the dispatch; a device-side
         # dynamic_index_in_dim over the [T, B, n, n] stack also stalled the
         # remote compile — measured this round).  Cost: T dispatches
-        # (~35-40 ms tunnel RTT each) + one stacked fetch.
-        coarse_h = np.asarray(coarse_seq)
+        # (~35-40 ms tunnel RTT each) + one stacked fetch.  coarse_seq is
+        # the HOST numpy stack — uploading it first and fetching it back
+        # would cost a full [T, B, n, n] tunnel round-trip for nothing
+        # (round-4 advisor finding).
         step, stack = _stepwise_jits(model, guided)
         f, outs = frame0, []
-        for t in range(coarse_h.shape[0]):
-            f = step(p, f, coarse_h[t])
+        for t in range(coarse_seq.shape[0]):
+            f = step(p, f, coarse_seq[t])
             outs.append(f)
         return stack(*outs)  # [T, B, n, n]
 
@@ -357,11 +359,13 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
         impl = "stepwise" if jax.default_backend() in ("tpu", "axon") \
             else "scan"
     print(f"rollout_impl: {impl}")
-    run = rollout_stepwise if impl == "stepwise" else jax.jit(rollout)
+    coarse_tmaj = np.moveaxis(coarse, 1, 0)    # host [T, B, n, n]
+    if impl == "stepwise":
+        run, coarse_arg = rollout_stepwise, coarse_tmaj
+    else:
+        run, coarse_arg = jax.jit(rollout), jnp.asarray(coarse_tmaj)
     with span("Prediction"):
-        frames = np.asarray(run(
-            params, jnp.asarray(traj[:, 0]),
-            jnp.asarray(np.moveaxis(coarse, 1, 0))))
+        frames = np.asarray(run(params, jnp.asarray(traj[:, 0]), coarse_arg))
     frames = np.moveaxis(frames, 0, 1)         # [B, T, n, n]
 
     fine = traj[:, 1:]                          # [B, T, n, n]

@@ -109,6 +109,12 @@ def extract_boundary_faces(points: np.ndarray, cells):
         pos += len(f)
         if m.any():
             out.append(_orient_outward(points, f[m].copy(), cent[m]))
+    if not out:
+        # fully periodic / watertight-interior input: no face is used by
+        # exactly one cell.  Return an empty surface in the uniform form
+        # (same degenerate contract as wall_surface_from_fluent) instead of
+        # an opaque IndexError from out[0]
+        return np.zeros((0, 3), np.int64)
     if all(f.shape[1] == out[0].shape[1] for f in out):
         return np.concatenate(out, axis=0)
     return [face for blk in out for face in blk]
@@ -154,7 +160,9 @@ def wall_surface_from_fluent(mesh, wall_only: bool = True):
             faces.append(np.asarray(f, np.int64))
             owners.append(owner)
     if not faces:
-        return []
+        # same degenerate contract as extract_boundary_faces: an empty
+        # uniform faces array, not a bare list
+        return np.zeros((0, 3), np.int64)
     sizes = np.array([len(f) for f in faces])
     owners = np.asarray(owners)
     out_by_size = []

@@ -694,11 +694,10 @@ class PartitionScheduler:
         if lane == "general":
             return None
         if lane == "fast_mc":
-            out = self._predict_full_multichip(x, num_nodes, fused_env)
-            if out is None:
-                self._note_lane("general",
-                                "multi-chip lane demoted (edge budget)")
-            return out
+            # demotion reasons are noted inside, per early-return site
+            # (round-4 advisor: a single blanket reason here mislabeled the
+            # c_out-mismatch / bucket / operand-build demotions)
+            return self._predict_full_multichip(x, num_nodes, fused_env)
         if lane == "routed":
             # routed serving lane (round 3): the stacked-expert vmapped
             # apply takes labels as DATA, so one program covers every
@@ -784,11 +783,16 @@ class PartitionScheduler:
             max(g["senders"].shape[0] for g in raw))
         budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
         if b * e_pad > budget * n_dev:  # per-device budget
+            self._note_lane("general", "multi-chip lane demoted (edge "
+                            f"budget: {b * e_pad} > {budget * n_dev})")
             return None
         y0 = raw[0]["y"]
         c_out = y0.shape[1] if y0 is not None else raw[0]["x"].shape[1]
         if getattr(self.model, "out_width", c_out) != c_out:
-            return None  # stacked [2, N, C] output needs pred/ref same C
+            # stacked [2, N, C] output needs pred/ref same C
+            self._note_lane("general", "multi-chip lane demoted "
+                            "(model out_width != request channels)")
+            return None
 
         import dataclasses as _dc
         infer_model = self.model
@@ -801,6 +805,8 @@ class PartitionScheduler:
         if entry is None:
             (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
             if rest:
+                self._note_lane("general", "multi-chip lane demoted "
+                                "(non-uniform bucket)")
                 return None
             batch, _ = pad_batch_to_multiple(batch, n_dev)
             b_padded = batch.x.shape[0]
@@ -931,8 +937,11 @@ class PartitionScheduler:
             # stacked apply would multiply the scan transient by n_experts)
             self._note_lane(
                 "per-request",
-                reason if lane == "general" else "routed scheduler: "
-                "coalescing unsupported, serving per-request")
+                reason if lane == "general"
+                else "multi-chip scheduler: coalescing unsupported, "
+                     "serving per-request" if lane == "fast_mc"
+                else "routed scheduler: coalescing unsupported, "
+                     "serving per-request")
             return None
         self._note_lane("coalesced", f"{len(requests)} requests, one dispatch")
         interp = fused_env == "force" and jax.default_backend() not in (

@@ -367,6 +367,27 @@ def test_wss_mixed_and_unsupported_cells():
         extract_boundary_faces(pts, np.arange(7, dtype=np.int64)[None, :])
 
 
+def test_wss_empty_surface_contract():
+    """Both surface providers return an empty uniform [0, 3] faces array
+    when no boundary face survives (round-4 advisor: out[0]/concatenate
+    raised opaquely, and the two providers disagreed on the contract)."""
+    from fast_eng_super_resolution_tpu.data.fluent_mesh import FluentMesh
+    from fast_eng_super_resolution_tpu.physics.wss import (
+        extract_boundary_faces, wall_surface_from_fluent)
+
+    # two tets sharing every face is impossible; instead duplicate one tet:
+    # each of its 4 faces is used by exactly TWO cells -> no boundary
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    tets = np.array([[0, 1, 2, 3], [0, 1, 2, 3]], np.int64)
+    faces = extract_boundary_faces(pts, tets)
+    assert isinstance(faces, np.ndarray) and faces.shape == (0, 3)
+    assert faces.dtype == np.int64
+
+    mesh = FluentMesh(points=pts, face_zones=[], num_cells=0)
+    faces2 = wall_surface_from_fluent(mesh)
+    assert isinstance(faces2, np.ndarray) and faces2.shape == (0, 3)
+
+
 def test_projection_device_loop_matches_host():
     """The device-resident outer loop (one dispatch, round-4 VERDICT weak
     #2) must reproduce the host loop's result: same alpha/rollback policy
