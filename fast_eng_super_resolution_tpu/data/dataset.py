@@ -605,6 +605,12 @@ def init_dataset(name: str, root: str, **kwargs):
     elif name == "ns_rollout":
         from .grid_dataset import NSRolloutDataset
         return NSRolloutDataset(root=root, **kwargs)
+    elif name == "advected_rollout":
+        from .grid_dataset import AdvectedRolloutDataset
+        return AdvectedRolloutDataset(root=root, **kwargs)
+    elif name == "advected3d_rollout":
+        from .grid_dataset import AdvectedRollout3DDataset
+        return AdvectedRollout3DDataset(root=root, **kwargs)
     elif name == "mat_grid":
         from .mat_dataset import MatGridDataset
         return MatGridDataset(root=root, **kwargs)

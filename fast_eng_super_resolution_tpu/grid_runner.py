@@ -29,11 +29,15 @@ from .utils.logging import MetricLogger, span
 
 
 @functools.lru_cache(maxsize=8)
-def _stepwise_jits(model, guided: bool):
+def _stepwise_jits(model, guided: bool, has_static: bool):
     """Cached jits for the stepwise rollout lane, keyed by the frozen model
     config — constructing jax.jit inside the request path costs two
     re-traces per call (the round-3 serving lesson; measured 8.9 s vs
-    ~1.5 s warm for a 32-trajectory eval)."""
+    ~1.5 s warm for a 32-trajectory eval).  ``has_static`` appends the
+    dataset's static input channels (e.g. the advected family's velocity)
+    after the carried/guidance channels — same order as training samples.
+    Static fields ride as jit ARGS, never closures (big closed-over arrays
+    embed as HLO constants and 413 the remote compile — round-3 lesson)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,11 +49,16 @@ def _stepwise_jits(model, guided: bool):
             out = linear(p["proj"], out)
         return out
 
+    def make_x(f, c, st):
+        chans = [f[..., None]]
+        if guided:
+            chans.append(c[..., None])
+        if has_static:
+            chans.append(st)
+        return chans[0] if len(chans) == 1 else jnp.concatenate(chans, -1)
+
     step = jax.jit(
-        lambda p_, f_, c_: apply_full(
-            p_,
-            jnp.concatenate([f_[..., None], c_[..., None]], axis=-1)
-            if guided else f_[..., None])[..., 0])
+        lambda p_, f_, c_, st_: apply_full(p_, make_x(f_, c_, st_))[..., 0])
     stack = jax.jit(lambda *fs: jnp.stack(fs))
     return step, stack
 
@@ -305,9 +314,14 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
     _check_task_spec(path, model, dataset, exp_config)
     params = ckpt.load_params(path)
 
-    traj = dataset.trajectories[eval_idx]      # [B, T+1, n, n]
-    coarse = dataset.coarse_frames[eval_idx]   # [B, T, n, n]
+    traj = dataset.trajectories[eval_idx]      # [B, T+1, *sp]
+    coarse = dataset.coarse_frames[eval_idx]   # [B, T, *sp]
     guided = dataset.guided
+    # static per-trajectory input channels (e.g. the advected family's
+    # velocity [B, *sp, K]); None for self-contained dynamics like NS
+    static = getattr(dataset, "static_fields", None)
+    static_b = None if static is None else np.asarray(static[eval_idx])
+    has_static = static_b is not None
 
     from .models.common import linear
 
@@ -319,18 +333,27 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
             out = linear(p["proj"], out)
         return out
 
-    def rollout(p, frame0, coarse_seq):
-        # frame0 [B, n, n]; coarse_seq [T, B, n, n] (guidance; unused in
+    def make_x(f, c, st):
+        # channel order matches the datasets' one-step training samples:
+        # [carried frame, (coarse guidance), *static]
+        chans = [f[..., None]]
+        if guided:
+            chans.append(c[..., None])
+        if has_static:
+            chans.append(st)
+        return chans[0] if len(chans) == 1 else jnp.concatenate(chans, -1)
+
+    def rollout(p, frame0, coarse_seq, st):
+        # frame0 [B, *sp]; coarse_seq [T, B, *sp] (guidance; unused in
         # pure mode — the scan carries only the model's own prediction)
         def body(f, c):
-            x = jnp.stack([f, c], axis=-1) if guided else f[..., None]
-            nxt = apply_full(p, x)[..., 0]
+            nxt = apply_full(p, make_x(f, c, st))[..., 0]
             return nxt, nxt
 
         _, frames = jax.lax.scan(body, frame0, coarse_seq)
-        return frames  # [T, B, n, n]
+        return frames  # [T, B, *sp]
 
-    def rollout_stepwise(p, frame0, coarse_seq):
+    def rollout_stepwise(p, frame0, coarse_seq, st):
         # Device rollout for the relay TPU (round 4, VERDICT missing #1):
         # the T-step lax.scan over the guided stepper stalls the remote
         # Mosaic/XLA compile >10 min, so compose the horizon HOST-side from
@@ -344,12 +367,12 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
         # the HOST numpy stack — uploading it first and fetching it back
         # would cost a full [T, B, n, n] tunnel round-trip for nothing
         # (round-4 advisor finding).
-        step, stack = _stepwise_jits(model, guided)
+        step, stack = _stepwise_jits(model, guided, has_static)
         f, outs = frame0, []
         for t in range(coarse_seq.shape[0]):
-            f = step(p, f, coarse_seq[t])
+            f = step(p, f, coarse_seq[t], st)
             outs.append(f)
-        return stack(*outs)  # [T, B, n, n]
+        return stack(*outs)  # [T, B, *sp]
 
     impl = str(exp_config.get("rollout_impl", "auto"))
     if impl == "auto":
@@ -359,21 +382,26 @@ def pred_rollout(idxs, exp_name: str, model, dataset, exp_config: dict,
         impl = "stepwise" if jax.default_backend() in ("tpu", "axon") \
             else "scan"
     print(f"rollout_impl: {impl}")
-    coarse_tmaj = np.moveaxis(coarse, 1, 0)    # host [T, B, n, n]
+    coarse_tmaj = np.moveaxis(coarse, 1, 0)    # host [T, B, *sp]
+    # dummy scalar when the dataset has no static channels: a concrete
+    # array arg keeps one jit signature across both cases
+    st_arg = jnp.asarray(static_b) if has_static else jnp.zeros((), np.float32)
     if impl == "stepwise":
         run, coarse_arg = rollout_stepwise, coarse_tmaj
     else:
         run, coarse_arg = jax.jit(rollout), jnp.asarray(coarse_tmaj)
     with span("Prediction"):
-        frames = np.asarray(run(params, jnp.asarray(traj[:, 0]), coarse_arg))
-    frames = np.moveaxis(frames, 0, 1)         # [B, T, n, n]
+        frames = np.asarray(run(params, jnp.asarray(traj[:, 0]), coarse_arg,
+                                st_arg))
+    frames = np.moveaxis(frames, 0, 1)         # [B, T, *sp]
 
-    fine = traj[:, 1:]                          # [B, T, n, n]
-    ax = (1, 2)                                 # spatial axes of one frame
+    fine = traj[:, 1:]                          # [B, T, *sp]
+    ax = tuple(range(1, fine.ndim - 1))         # spatial axes of one frame
+    axf = tuple(range(2, fine.ndim))            # spatial axes under [B, T]
     mse_roll_final = ((frames[:, -1] - fine[:, -1]) ** 2).mean(ax)
     mse_base_final = ((coarse[:, -1] - fine[:, -1]) ** 2).mean(ax)
-    mse_roll_all = ((frames - fine) ** 2).mean((2, 3))   # [B, T]
-    mse_base_all = ((coarse - fine) ** 2).mean((2, 3))
+    mse_roll_all = ((frames - fine) ** 2).mean(axf)      # [B, T]
+    mse_base_all = ((coarse - fine) ** 2).mean(axf)
 
     out_dir = os.path.join(log_dir, "vtk", exp_name)
     os.makedirs(out_dir, exist_ok=True)

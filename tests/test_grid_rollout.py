@@ -125,6 +125,127 @@ def test_rollout_stepwise_matches_scan(tmp_path, guided):
         np.testing.assert_array_equal(z["rollout"], scan_frames)
 
 
+ADV_KW = dict(num_samples=3, resolution=16, downsample=2, t_frames=3,
+              steps_per_frame=2)
+
+
+def test_advected_rollout_dataset_view(tmp_path):
+    """Second dynamics family for the rollout lane (round-4 VERDICT #1):
+    advected scalar with the velocity as STATIC input channels (advection
+    is not self-contained — theta_t alone does not determine theta_{t+1})."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        AdvectedRolloutDataset, advected_scalar_pair)
+
+    ds = AdvectedRolloutDataset(str(tmp_path), **ADV_KW)
+    S, T, n = 3, 3, 16
+    assert ds.rollout_eval and ds.t_frames == T and len(ds) == S * T
+    assert ds.trajectories.shape == (S, T + 1, n, n)
+    assert ds.coarse_frames.shape == (S, T, n, n)
+    assert ds.static_fields.shape == (S, n, n, 2)
+
+    # pure sample: [theta_t, u, v]; consecutive pairs chain
+    a, b = ds[0], ds[1]
+    assert a["x"].shape == (n, n, 3) and a["y"].shape == (n, n, 1)
+    np.testing.assert_array_equal(a["y"][..., 0], b["x"][..., 0])
+    np.testing.assert_array_equal(a["x"][..., 1:], ds.static_fields[0])
+
+    # guided sample: [theta_t, coarse_t, u, v]
+    dsg = AdvectedRolloutDataset(str(tmp_path), guided=True, **ADV_KW)
+    g = dsg[4]  # s=1, t=1
+    assert g["x"].shape == (n, n, 4)
+    np.testing.assert_array_equal(g["x"][..., 1], dsg.coarse_frames[1, 1])
+    np.testing.assert_array_equal(g["x"][..., 2:], dsg.static_fields[1])
+
+    # endpoint comparability: same generator recipe as the one-shot task —
+    # t_frames * steps_per_frame semi-Lagrangian steps from a shared-seed
+    # IC/velocity gives the one-shot pair's target field
+    rng = np.random.default_rng(0)
+    x1, y1 = advected_scalar_pair(16, rng, factor=2,
+                                  steps=ADV_KW["t_frames"]
+                                  * ADV_KW["steps_per_frame"])
+    scale_ratio = np.abs(ds.trajectories[0, -1]).max() / \
+        (np.abs(y1[..., 0]).max() + 1e-12)
+    np.testing.assert_allclose(ds.trajectories[0, -1],
+                               y1[..., 0] * scale_ratio, atol=1e-5)
+
+    from fast_eng_super_resolution_tpu.data.dataset import init_dataset
+
+    ds2 = init_dataset("advected_rollout", str(tmp_path), **ADV_KW)
+    assert len(ds2) == S * T
+
+
+def test_advected3d_rollout_dataset_view(tmp_path):
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        AdvectedRollout3DDataset)
+
+    kw = dict(num_samples=2, resolution=12, downsample=2, t_frames=2,
+              steps_per_frame=2, max_mode=2)
+    ds = AdvectedRollout3DDataset(str(tmp_path), guided=True, **kw)
+    S, T, n = 2, 2, 12
+    assert len(ds) == S * T
+    assert ds.trajectories.shape == (S, T + 1, n, n, n)
+    assert ds.static_fields.shape == (S, n, n, n, 3)
+    g = ds[1]
+    assert g["x"].shape == (n, n, n, 5) and g["y"].shape == (n, n, n, 1)
+    np.testing.assert_array_equal(g["x"][..., 0], ds.trajectories[0, 1])
+    np.testing.assert_array_equal(g["x"][..., 1], ds.coarse_frames[0, 1])
+
+
+@pytest.mark.parametrize("guided", [False, True])
+def test_advected_rollout_end_to_end(tmp_path, guided):
+    """Train + rollout-eval on the advected family: static velocity channels
+    flow through training, the scan lane, AND the stepwise lane (parity)."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        AdvectedRolloutDataset)
+    from fast_eng_super_resolution_tpu.grid_runner import (pred_rollout,
+                                                           train_grid)
+    from fast_eng_super_resolution_tpu.models.fno import FNO2d
+
+    ds = AdvectedRolloutDataset(str(tmp_path), guided=guided, **ADV_KW)
+    model = FNO2d(modes1=4, modes2=4, width=8, in_feats=4 if guided else 3)
+    exp = dict(train_samples=2 * ds.t_frames, idxs=[2], seed=0)
+    log_dir = str(tmp_path / "logs")
+    train_grid("advroll", model, ds, dict(epochs=2, batch_size=4, lr=1e-3,
+                                          val_interval=1), exp,
+               log_dir=log_dir)
+    (scan_out,) = pred_rollout([2], "advroll", model, ds,
+                               {**exp, "rollout_impl": "scan"},
+                               log_dir=log_dir)
+    with np.load(scan_out) as z:
+        scan_frames = z["rollout"].copy()
+        assert scan_frames.shape == (ds.t_frames, 16, 16)
+        assert np.isfinite(scan_frames).all()
+    (step_out,) = pred_rollout([2], "advroll", model, ds,
+                               {**exp, "rollout_impl": "stepwise"},
+                               log_dir=log_dir)
+    with np.load(step_out) as z:
+        np.testing.assert_array_equal(z["rollout"], scan_frames)
+
+
+def test_advected3d_rollout_end_to_end(tmp_path):
+    """The FNO3d stepper leg: volumetric rollout through the same runner."""
+    from fast_eng_super_resolution_tpu.data.grid_dataset import (
+        AdvectedRollout3DDataset)
+    from fast_eng_super_resolution_tpu.grid_runner import (pred_rollout,
+                                                           train_grid)
+    from fast_eng_super_resolution_tpu.models.fno import FNO3d
+
+    kw = dict(num_samples=2, resolution=12, downsample=2, t_frames=2,
+              steps_per_frame=2, max_mode=2)
+    ds = AdvectedRollout3DDataset(str(tmp_path), guided=True, **kw)
+    model = FNO3d(modes1=3, modes2=3, modes3=3, width=6, in_feats=5)
+    exp = dict(train_samples=1 * ds.t_frames, idxs=[1], seed=0)
+    log_dir = str(tmp_path / "logs")
+    train_grid("advroll3d", model, ds, dict(epochs=2, batch_size=2,
+                                            lr=1e-3, val_interval=1), exp,
+               log_dir=log_dir)
+    (out,) = pred_rollout([1], "advroll3d", model, ds, exp, log_dir=log_dir)
+    with np.load(out) as z:
+        assert z["rollout"].shape == (2, 12, 12, 12)
+        assert z["pred"].shape == (12, 12, 12, 1)
+        assert np.isfinite(z["rollout"]).all()
+
+
 def test_rollout_rejects_partial_trajectory_split(tmp_path):
     """train_samples not a multiple of t_frames would leak training frames
     of the boundary trajectory into the held-out mean — refused."""
