@@ -211,15 +211,22 @@ class ServingLanes:
             if not ok:
                 return "general", reason
         if not self._single_device():
+            n_dev = int(self.mesh.devices.size)
+            if self.num_partitions > 1:
+                # routed multi-chip lane (round 5, VERDICT #4): the stacked-
+                # expert vmapped apply takes labels as DATA, so the batch
+                # axis shards cleanly — per-device partial segment sums,
+                # psum-completed reconstruction (scheduler_gnn.py:253-291's
+                # routed-subdomain chunking across ranks, as one program)
+                return "routed_mc", (f"{self.num_partitions} experts x "
+                                     f"{n_dev} devices, routed shard_map "
+                                     "lane")
             # multi-chip one-program lane (round 4): fused forward +
-            # psum-completed reconstruction under shard_map; single-expert
-            # only (the routed stacked apply stays on the general path)
-            if (self.num_partitions == 1
-                    and hasattr(self.model, "apply_fused")
+            # psum-completed reconstruction under shard_map
+            if (hasattr(self.model, "apply_fused")
                     and getattr(self.model, "fused_ok", True)):
-                n_dev = int(self.mesh.devices.size)
                 return "fast_mc", f"{n_dev}-device fused shard_map lane"
-            return "general", ("multi-device mesh: routed/non-fused "
+            return "general", ("multi-device mesh: non-fused single-expert "
                                "requests serve through predict")
         if self.num_partitions > 1:
             return "routed", f"{self.num_partitions} experts, routed lane"
@@ -252,6 +259,9 @@ class ServingLanes:
             # (round-4 advisor: a single blanket reason here mislabeled the
             # c_out-mismatch / bucket / operand-build demotions)
             return self._predict_full_multichip(x, num_nodes, fused_env)
+        if lane == "routed_mc":
+            # demotion reasons noted inside, per early-return site
+            return self._predict_full_routed_mc(x, num_nodes, fused_env)
         if lane == "routed":
             # routed serving lane (round 3): the stacked-expert vmapped
             # apply takes labels as DATA, so one program covers every
@@ -670,6 +680,173 @@ class ServingLanes:
             return np.asarray(out[0]), np.asarray(out[1])
         o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
         return o[0], o[1]
+
+    def _predict_full_routed_mc(self, x: list[dict], num_nodes: int,
+                                fused_env: str):
+        """ROUTED MULTI-CHIP single-dispatch serving lane (round 5, VERDICT
+        #4): the missing cross product of the routed lane (labels as data,
+        stacked-expert vmapped apply) and the multi-chip lane (shard_map
+        over the batch axis, psum-completed reconstruction).
+
+        The per-graph batch axis shards across 'data'; every device holds
+        the full stacked expert params (replicated — expert counts are
+        small) and applies its local graphs' experts by label, then
+        segment-sums its partial (pred*w, ref*w, w) accumulators over
+        GLOBAL node ids; psum completes the exact overlap average.  The
+        batch pads to a device multiple with zero-weight dump graphs, so
+        one program covers every request size and routing pattern.
+
+        Reference analog: the multi-GPU inference worker chunks the ROUTED
+        subdomain list across ranks and merges on host
+        (scheduler_gnn.py:253-291, 313-347) — here both collapse into one
+        SPMD program.  Returns (pred_full, ref_full) or None (demotion
+        reasons noted per site).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(self.mesh.devices.size)
+        raw = [_as_raw_graph(d) for d in x]
+        spec = BucketSpec()
+        b = len(raw)
+        n_pad, e_pad = spec.bucket_for(
+            max(g["x"].shape[0] for g in raw),
+            max(g["senders"].shape[0] for g in raw))
+        budget = int(os.environ.get("FESR_PREDICT_EDGE_BUDGET", 300_000))
+        if b * e_pad > budget * n_dev:   # per-device budget
+            self._note_lane("general", "routed multi-chip lane demoted "
+                            f"(edge budget: {b * e_pad} > {budget * n_dev})")
+            return None
+
+        import dataclasses as _dc
+        infer_model = self.model
+        try:
+            replace = {}
+            if getattr(self.model, "mode", None) == "auto" and \
+                    jax.default_backend() in ("tpu", "axon"):
+                replace["mode"] = "edge3d"
+            if hasattr(self.model, "edges_sorted"):
+                replace["edges_sorted"] = True
+            if replace:
+                infer_model = _dc.replace(self.model, **replace)
+        except Exception:
+            pass
+
+        b_pad = -(-b // n_dev) * n_dev
+        key = ("routedmc", self._hash_geometry(raw, with_gids=True),
+               num_nodes, b_pad * n_pad, e_pad, n_dev)
+        entry = self._fused_cache.get(key)
+        if entry is None:
+            (_, _, batch), *rest = pad_and_bucket(raw, uniform=True)
+            if rest:
+                self._note_lane("general", "routed multi-chip lane demoted "
+                                "(non-uniform bucket)")
+                return None
+            batch, _ = pad_batch_to_multiple(batch, n_dev)
+            nm = np.asarray(batch.node_mask)               # [B_pad, n_pad]
+            gids = np.asarray(batch.global_ids)
+            gid_dump = np.where(nm & (gids >= 0), gids,
+                                np.int64(num_nodes)).astype(np.int32)
+            shd = NamedSharding(self.mesh, P("data"))
+            ops = tuple(jax.device_put(np.asarray(a), shd) for a in (
+                batch.senders, batch.receivers, batch.edge_attr,
+                batch.edge_mask, gid_dump, nm.astype(np.float32)))
+            entry = self._cache_put(
+                key, ops, sum(int(np.asarray(a).size) * 4 for a in ops))
+        send_j, recv_j, ea_j, em_j, gid_j, w_j = entry[0]
+
+        # routing is payload-dependent (host encoders/classifiers); dump
+        # graphs route to expert 0 — their zero weights drop them from the
+        # reconstruction regardless
+        latent = self.encoder.get_latent_space(x)
+        labels = np.asarray(self.classifier.cluster(latent), dtype=np.int32)
+        self._check_labels(labels)
+        labels_pad = np.zeros(b_pad, np.int32)
+        labels_pad[:b] = labels
+
+        stk = getattr(self, "_stacked_cache", None)
+        if stk is None or stk[0] is not self.params_list:
+            self._stacked_cache = stk = (self.params_list,
+                                         stack_params(self.params_list))
+        stacked = stk[1]
+
+        c_in = raw[0]["x"].shape[1]
+        y0 = raw[0]["y"]
+        c_out = y0.shape[1] if y0 is not None else c_in
+        xb = np.zeros((b_pad, n_pad, c_in), np.float32)
+        yb = np.zeros((b_pad, n_pad, c_out), np.float32)
+        for i, g in enumerate(raw):
+            n_i = g["x"].shape[0]
+            xb[i, :n_i] = g["x"]
+            if g["y"] is not None:
+                yb[i, :n_i] = g["y"]
+
+        fn = self._routed_mc_fn(infer_model, num_nodes)
+        out = fn(stacked, jnp.asarray(labels_pad), xb, yb, send_j, recv_j,
+                 ea_j, em_j, gid_j, w_j)
+        if isinstance(out, tuple):  # pred/ref channel counts differ
+            return np.asarray(out[0]), np.asarray(out[1])
+        o = np.asarray(out)  # stacked [2, num_nodes, C] — ONE fetch
+        return o[0], o[1]
+
+    def _routed_mc_fn(self, infer_model, num_nodes: int):
+        """Cached jit of the routed multi-chip program: shard_map over the
+        per-graph batch axis, replicated stacked params, psum-completed
+        segment-mean reconstruction (the routed analog of
+        ``_fused_mc_full_fn``)."""
+        key = ("routed_mc", infer_model, num_nodes)
+        cache = getattr(self, "_fused_mc_jits", None)
+        if cache is None:
+            cache = self._fused_mc_jits = {}
+        fn = cache.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.dispatch import select_expert
+            from ..parallel.train import _import_shard_map
+
+            shard_map, no_check_kw = _import_shard_map()
+            mesh = self.mesh
+
+            def local(stacked, labels, xb, yb, s, r, a, m, gid, w):
+                def per_graph(idx, x_g, s_g, r_g, a_g, m_g):
+                    params = select_expert(stacked, idx)
+                    return infer_model.apply(params, x_g, s_g, r_g, a_g,
+                                             edge_mask=m_g)
+
+                pred = jax.vmap(per_graph)(labels, xb, s, r, a, m)
+                predf = pred.reshape(-1, pred.shape[-1])
+                ymf = yb.reshape(-1, yb.shape[-1])
+                gidf = gid.reshape(-1)
+                wf = w.reshape(-1)
+                wc = wf[:, None]
+                accp = jax.ops.segment_sum(predf * wc, gidf,
+                                           num_segments=num_nodes + 1)
+                accr = jax.ops.segment_sum(ymf * wc, gidf,
+                                           num_segments=num_nodes + 1)
+                ws = jax.ops.segment_sum(wf, gidf,
+                                         num_segments=num_nodes + 1)
+                accp = jax.lax.psum(accp, "data")
+                accr = jax.lax.psum(accr, "data")
+                ws = jnp.maximum(jax.lax.psum(ws, "data"), 1e-30)
+                pred_o = accp[:num_nodes] / ws[:num_nodes, None]
+                ref_o = accr[:num_nodes] / ws[:num_nodes, None]
+                if pred_o.shape == ref_o.shape:
+                    return jnp.stack([pred_o, ref_o])
+                return (pred_o, ref_o)
+
+            def fwd(stacked, labels, xb, yb, s, r, a, m, gid, w):
+                mapped = shard_map(
+                    local, mesh=mesh,
+                    in_specs=(
+                        jax.tree_util.tree_map(lambda _: P(), stacked),
+                        P("data"), P("data"), P("data"), P("data"),
+                        P("data"), P("data"), P("data"), P("data"),
+                        P("data")),
+                    out_specs=P(), **{no_check_kw: False})
+                return mapped(stacked, labels, xb, yb, s, r, a, m, gid, w)
+
+            fn = cache[key] = jax.jit(fwd)
+        return fn
 
     @staticmethod
     def _serve_body_routed(infer_model, stacked, labels, xb, yb, s, r, a,

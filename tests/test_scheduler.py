@@ -869,3 +869,63 @@ def test_predict_full_multichip_lane(synth, tmp_path_factory, monkeypatch):
     # warm second request hits the operand cache, identical result
     pred_mc2, _ = sched.predict_full(x, n)
     np.testing.assert_array_equal(pred_mc, pred_mc2)
+
+
+def test_predict_full_routed_multichip_lane(synth, tmp_path_factory,
+                                            monkeypatch):
+    """Routed MULTI-CHIP predict_full (round 5, VERDICT #4): labels-as-data
+    stacked-expert apply under shard_map + psum reconstruction must match
+    the general routed predict + host overlap_average on the virtual
+    8-device mesh."""
+    import jax
+
+    from fast_eng_super_resolution_tpu.data.reconstruct import overlap_average
+    from fast_eng_super_resolution_tpu.models.kernelnn import KernelNN
+    from fast_eng_super_resolution_tpu.sched.classifiers import KMeansClassifier
+    from fast_eng_super_resolution_tpu.sched.encoders import PCAEncoder
+    from fast_eng_super_resolution_tpu.sched.scheduler import PartitionScheduler
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    log_dir = str(tmp_path_factory.mktemp("logs_rmc"))
+    model = KernelNN(width=8, ker_width=4, depth=2, in_width=4, out_width=4)
+    sched = PartitionScheduler("rmc", 2, synth, model, train=True,
+                               encoder=PCAEncoder(n_components=2),
+                               classifier=KMeansClassifier(2),
+                               log_dir=log_dir, use_mesh=True)
+    sched.train(dict(epochs=1, batch_size=16, lr=1e-3, step_size=30,
+                     gamma=0.1, log_interval=10, val_interval=1))
+    assert sched.mesh is not None and sched.mesh.devices.size > 1
+    x = synth.get_one_full_sample(0)
+    n = int(max(int(np.max(d["global_node_ids"])) for d in x)) + 1
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    got = sched.predict_full(x, n)
+    assert got is not None, sched.last_lane
+    assert sched.last_lane[0] == "routed_mc", sched.last_lane
+    pred_mc, ref_mc = got
+    assert pred_mc.shape == (n, 4) and np.isfinite(pred_mc).all()
+
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "0")
+    p_list, r_list, _, _ = sched.predict(x)
+    gids = [d["global_node_ids"] for d in x]
+    pred_ref = overlap_average([np.asarray(p) for p in p_list], gids, n)
+    ref_ref = overlap_average([np.asarray(r) for r in r_list], gids, n)
+    scale = np.abs(pred_ref).max() + 1e-9
+    assert np.abs(pred_mc - pred_ref).max() / scale < 2e-5
+    rel_r = np.abs(ref_mc - ref_ref).max() / (np.abs(ref_ref).max() + 1e-9)
+    assert rel_r < 2e-5, rel_r
+
+    # warm second request: operand-cache hit, no new jits, identical result
+    monkeypatch.setenv("FESR_FUSED_PREDICT", "force")
+    jits_before = dict(sched._fused_mc_jits)
+    pred_mc2, _ = sched.predict_full(x, n)
+    np.testing.assert_array_equal(pred_mc, pred_mc2)
+    assert dict(sched._fused_mc_jits) == jits_before
+
+    # edge budget demotes with the specific reason
+    monkeypatch.setenv("FESR_PREDICT_EDGE_BUDGET", "10")
+    assert sched.predict_full(x, n) is None
+    assert "routed multi-chip lane demoted" in sched.last_lane[1]
