@@ -42,6 +42,11 @@ def main():
                          "200 below 200k nodes, 50 above — one outer "
                          "iteration must fit the relay's per-dispatch "
                          "execution limit)")
+    ap.add_argument("--precond", choices=("amg", "none"), default="none",
+                    help="inner-solver preconditioner: 'amg' (round 5, "
+                         "smoothed-aggregation V-cycle on the exact normal "
+                         "operator — few outer iterations each a near-exact "
+                         "Newton step) or 'none' (round-4 plain CGNR)")
     args = ap.parse_args()
 
     from fast_eng_super_resolution_tpu.data.synthetic import (duct_field,
@@ -75,18 +80,25 @@ def main():
 
     cg_maxiter = args.cg_maxiter if args.cg_maxiter is not None else (
         200 if n < 200_000 else 50)
+    t_amg = 0.0
+    if args.precond == "amg":
+        t0 = time.perf_counter()
+        proj._amg_preconditioner()   # host scipy build, timed separately
+        t_amg = time.perf_counter() - t0
+        print(f"AMG hierarchy build: {t_amg:.1f}s")
     t0 = time.perf_counter()
     vel, pres, final, iters = proj.apply_divergence_free_projection_device(
         max_iterations=args.iters, tolerance=args.tolerance,
-        cg_maxiter=cg_maxiter)
+        cg_maxiter=cg_maxiter, precond=args.precond)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     proj2 = DivergenceFreeProjection(mesh.points, edges, v, p[:, 0],
                                      max_neighbors=args.max_neighbors)
     proj2._device_loop = proj._device_loop  # shapes equal -> jit reuse
+    proj2._amg_M = proj._amg_M
     _, _, final2, _ = proj2.apply_divergence_free_projection_device(
         max_iterations=args.iters, tolerance=args.tolerance,
-        cg_maxiter=cg_maxiter)
+        cg_maxiter=cg_maxiter, precond=args.precond)
     t_warm = time.perf_counter() - t0
 
     rec = {
@@ -102,6 +114,8 @@ def main():
         "setup_s": round(t_setup, 2),
         "backend": __import__("jax").default_backend(),
         "cg_maxiter": cg_maxiter,
+        "precond": args.precond,
+        "amg_build_s": round(t_amg, 2),
     }
     assert abs(final2 - final) / max(final, 1e-30) < 1e-3, (final, final2)
     print(json.dumps(rec))

@@ -409,8 +409,11 @@ def test_projection_device_loop_matches_host():
     hv, _, hfinal, _ = host.apply_divergence_free_projection(max_iterations=8)
 
     dev = DivergenceFreeProjection(mesh.points, edges, v)
+    # precond='none': the host loop is plain CGNR, so the parity arm must
+    # be too (the round-5 AMG default converges BETTER than the host loop,
+    # which is exactly what this test would flag)
     dv, _, dfinal, dit = dev.apply_divergence_free_projection_device(
-        max_iterations=8)
+        max_iterations=8, precond="none")
     assert dfinal / init < 0.5                    # real progress
     # same policy -> same trajectory up to f32-vs-f64 alpha arithmetic
     # (the host loop adapts alpha in python floats; measured drift 0.5%)
@@ -420,3 +423,64 @@ def test_projection_device_loop_matches_host():
     dev_err = np.abs(np.asarray(dv) - np.asarray(hv)).max()
     assert dev_err < 2e-2 * np.abs(np.asarray(hv)).max(), dev_err
     assert 1 <= dit <= 8
+
+
+def test_amg_assembly_matches_matvec(duct):
+    """The scipy-assembled composite A and the device consistent_matvec are
+    the same operator (the AMG build must precondition the system the CG
+    actually solves)."""
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field
+    from fast_eng_super_resolution_tpu.physics import amg
+    from fast_eng_super_resolution_tpu.physics.projection import (
+        DivergenceFreeProjection)
+
+    mesh, edges = duct
+    v, p = duct_field(mesh.points)
+    proj = DivergenceFreeProjection(mesh.points, edges, v)
+    n = len(mesh.points)
+    A = amg.assemble_composite(proj.nbr, proj.mask, proj.weights)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    ref = np.asarray(proj.consistent_matvec(jnp.asarray(x)))
+    got = A @ x.astype(np.float64)
+    assert np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12) < 1e-5
+
+    # hierarchy builds and the V-cycle is linear + finite
+    N = amg.assemble_normal(proj.nbr, proj.mask, proj.weights)
+    levels, cinv = amg.build_hierarchy(N, coarse_size=100)
+    V = amg.make_vcycle(levels, cinv)
+    r = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    v1, v2 = V(r), V(2.0 * r)
+    assert np.isfinite(np.asarray(v1)).all()
+    np.testing.assert_allclose(np.asarray(v2), 2 * np.asarray(v1),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_amg_preconditioned_projection_beats_plain(duct):
+    """The AMG-preconditioned device loop must reach at least the plain
+    CGNR loop's divergence reduction in strictly fewer outer iterations —
+    the measured round-5 property (near-exact Newton steps)."""
+    import jax.numpy as jnp
+
+    from fast_eng_super_resolution_tpu.data.synthetic import duct_field
+    from fast_eng_super_resolution_tpu.physics.projection import (
+        DivergenceFreeProjection)
+
+    mesh, edges = duct
+    v, p = duct_field(mesh.points)
+    rng = np.random.default_rng(0)
+    noisy = v + 0.05 * rng.normal(size=v.shape).astype(np.float32)
+
+    proj_p = DivergenceFreeProjection(mesh.points, edges, noisy)
+    init = float(jnp.linalg.norm(proj_p.calculate_divergence()))
+    _, _, final_plain, _ = proj_p.apply_divergence_free_projection_device(
+        max_iterations=8, tolerance=1e-5, cg_maxiter=50, precond="none")
+
+    proj_a = DivergenceFreeProjection(mesh.points, edges, noisy)
+    _, _, final_amg, it_amg = proj_a.apply_divergence_free_projection_device(
+        max_iterations=3, tolerance=1e-5, cg_maxiter=50, precond="amg")
+    assert np.isfinite(final_amg)
+    assert final_amg <= final_plain * 1.05, (final_plain, final_amg)
+    assert init / final_amg > 5.0, (init, final_amg)
